@@ -1,0 +1,16 @@
+"""dfmdock_tpu — a TPU-native (JAX/XLA/Pallas/pjit) protein–protein docking framework.
+
+A from-scratch re-design of the capabilities of Graylab/DFMDock ("Denoising Force
+Matching Dock": score-based SE(3) diffusion for rigid-body docking that unifies
+sampling and ranking via an energy head).  Reference behavior is documented in
+/root/repo/SURVEY.md; this package is an independent, TPU-first implementation:
+
+- the entire reverse-diffusion step (featurize -> EGNN score net -> SDE update)
+  is one jitted function, `lax.scan`ned over timesteps and `vmap`ped over poses;
+- ragged residue counts are handled by padding + masks (no dynamic graphs);
+- stochastic edge subsampling is Gumbel-top-k under explicit PRNG keys;
+- force matching (dedx = -dE/dx) is native `jax.grad`;
+- multi-chip scaling is `jax.sharding.Mesh` + pjit data/pose parallelism.
+"""
+
+__version__ = "0.1.0"

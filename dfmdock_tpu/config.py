@@ -1,0 +1,112 @@
+"""Typed configuration for dfmdock_tpu.
+
+One dataclass tree serves training and inference (replaces the reference's Hydra
+config groups; shipped hyperparameters mirror
+reference configs/model/score_model_mlsb.yaml and configs/inference.yaml).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Score network hyperparameters (reference configs/model/score_model_mlsb.yaml:3-14)."""
+
+    lm_embed_dim: int = 1301          # 1280 ESM2-650M + 21 one-hot
+    positional_embed_dim: int = 66    # AF2-multimer relpos (clip +-32 + cross-chain class)
+    spatial_embed_dim: int = 100      # 40 dist + 24 omega + 24 theta + 12 phi bins
+    node_dim: int = 256
+    edge_dim: int = 128
+    inner_dim: int = 128
+    depth: int = 6
+    dropout: float = 0.1
+    cut_off: float = 20.0             # energy-head pair mask cutoff (Angstrom)
+    normalize: bool = True            # EGNN coord_diff normalization
+    agg: str = "mean"                 # energy/force aggregation (DFMDock lineage)
+    # Edge selection (reference score_net_mlsb.py:85-135): 20 nearest neighbours
+    # (incl. self) + 40 inverse-cubic-distance samples per node.
+    knn: int = 20
+    sample_size: int = 40
+
+    @property
+    def edges_per_node(self) -> int:
+        return self.knn + self.sample_size
+
+
+@dataclasses.dataclass(frozen=True)
+class R3Config:
+    """Translation VE-SDE (reference r3_diffuser.py:15-55)."""
+
+    min_sigma: float = 0.1
+    max_sigma: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SO3Config:
+    """IGSO3 VE-SDE (reference so3_diffuser.py:139-369)."""
+
+    num_omega: int = 1000
+    num_sigma: int = 1000
+    min_sigma: float = 0.1
+    max_sigma: float = 1.5
+    schedule: str = "logarithmic"
+    cache_dir: str = ".cache/igso3"
+    use_cached_score: bool = False
+    expansion_L: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffuserConfig:
+    r3: R3Config = dataclasses.field(default_factory=R3Config)
+    so3: SO3Config = dataclasses.field(default_factory=SO3Config)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Training flags (reference configs/model/score_model_mlsb.yaml:30-41)."""
+
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    perturb_tr: bool = True
+    perturb_rot: bool = True
+    separate_energy_loss: bool = True
+    separate_tr_loss: bool = True
+    separate_rot_loss: bool = True
+    use_interface_loss: bool = True
+    grad_energy: bool = False
+    use_contrastive_loss: bool = False
+    # DFMDock-lineage extras (reference configs/model/DFMDock.yaml:39-52)
+    crop_size: int = 1200
+    use_confidence_loss: bool = False
+    use_dist_loss: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Reverse-SDE sampling (reference inference_base.py:390-468, configs/inference.yaml)."""
+
+    num_steps: int = 40
+    eps: float = 1e-3
+    tr_noise_scale: float = 0.5
+    rot_noise_scale: float = 0.5
+    use_clash_force: bool = False
+    noise_annealing: bool = False
+    ode: bool = False
+    perturb_tr: bool = True
+    perturb_rot: bool = True
+    # pose randomization: random SO(3) rotation + N(0, 30 A) translation
+    # (reference inference_base.py:318-340)
+    init_tr_sigma: float = 30.0
+    # centering convention: 'ca' = ligand-CA centroid (inference_base.py:322,343),
+    # 'bb' = all-backbone-atom mean (inference.py:224-225,245)
+    center_mode: str = "ca"
+
+
+@dataclasses.dataclass(frozen=True)
+class DFMDockConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    diffuser: DiffuserConfig = dataclasses.field(default_factory=DiffuserConfig)
+    experiment: ExperimentConfig = dataclasses.field(default_factory=ExperimentConfig)
+    sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
