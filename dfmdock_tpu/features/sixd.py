@@ -1,0 +1,153 @@
+"""trRosetta-style 6D pairwise geometry, binned — TPU-first formulation.
+
+The reference materializes four dense [N, N] float maps plus [N, N, 100]
+one-hots and multiplies by an embedding matrix (score_net_mlsb.py:30-59,
+coords6d.py:62-103).  Here the same quantities are produced as *integer bin
+indices*, either dense [N, N] or gathered at a fixed per-node neighbor set
+[N, K] — because one-hot(x) @ W is exactly W[x], downstream embedding becomes
+table lookups and the O(N^2 * feat) intermediates disappear.
+
+Bin semantics (match score_net_mlsb.get_bins / get_spatial_matrix exactly):
+  dist:  40 bins over (3.25, 50.75);  bin = sum(d > linspace(3.25,50.75,39))
+  omega: 24 bins over (-180, 180) deg, dihedral (Ca_i, Cb_i, Cb_j, Ca_j)
+  theta: 24 bins over (-180, 180) deg, dihedral (N_i, Ca_i, Cb_i, Cb_j)
+  phi:   12 bins over (0, 180) deg, planar angle (Ca_i, Cb_i, Cb_j)
+  omega/theta/phi bins are zeroed where dist >= 22 A or i == j; NaN angles
+  (i == j degenerate geometry) also land in bin 0 via IEEE NaN-compare-False,
+  matching torch.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+# spatial embedding table layout: offsets of each bin family in the 100-dim
+# one-hot concat [dist(40) | omega(24) | theta(24) | phi(12)]
+NUM_DIST_BINS = 40
+NUM_OMEGA_BINS = 24
+NUM_THETA_BINS = 24
+NUM_PHI_BINS = 12
+SPATIAL_DIM = NUM_DIST_BINS + NUM_OMEGA_BINS + NUM_THETA_BINS + NUM_PHI_BINS
+OMEGA_OFFSET = NUM_DIST_BINS
+THETA_OFFSET = NUM_DIST_BINS + NUM_OMEGA_BINS
+PHI_OFFSET = NUM_DIST_BINS + NUM_OMEGA_BINS + NUM_THETA_BINS
+
+SPATIAL_MASK_CUTOFF = 22.0  # Angstrom (score_net_mlsb.py:33)
+
+# Virtual C-beta coefficients (trRosetta; coords6d.py:71-75)
+_CB_A, _CB_B, _CB_C = -0.58273431, 0.56802827, -0.54067466
+
+
+def virtual_cb(pos: jnp.ndarray) -> jnp.ndarray:
+    """Reconstruct C-beta from backbone N/CA/C. pos: [..., 3, 3] -> [..., 3]."""
+    n, ca, c = pos[..., 0, :], pos[..., 1, :], pos[..., 2, :]
+    b = ca - n
+    c_ = c - ca
+    a = jnp.cross(b, c_)
+    return _CB_A * a + _CB_B * b + _CB_C * c_ + ca
+
+
+def pairwise_ca_dist(pos: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3, 3] -> [N, N] CA-CA distances."""
+    ca = pos[..., 1, :]
+    diff = ca[:, None, :] - ca[None, :, :]
+    return jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 1e-12))
+
+
+def _get_bins(x, min_bin, max_bin, num_bins):
+    """sum(x > boundaries) with num_bins-1 boundaries -> int bins in [0, num_bins-1].
+
+    NaN compares False against everything -> bin 0 (torch parity)."""
+    boundaries = jnp.linspace(min_bin, max_bin, num_bins - 1)
+    return (x[..., None] > boundaries).sum(-1).astype(jnp.int32)
+
+
+def _dihedral_deg(a, b, c, d):
+    """Dihedral angle in degrees for points [..., 3] (coords6d.py:23-43)."""
+    b1 = a - b
+    b2 = b - c
+    b3 = c - d
+    n1 = jnp.cross(b1, b2)
+    n1 = n1 / jnp.linalg.norm(n1, axis=-1, keepdims=True)
+    n2 = jnp.cross(b2, b3)
+    n2 = n2 / jnp.linalg.norm(n2, axis=-1, keepdims=True)
+    m1 = jnp.cross(n1, b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True))
+    x = (n1 * n2).sum(-1)
+    y = (m1 * n2).sum(-1)
+    return jnp.arctan2(y, x) * (180.0 / math.pi)
+
+
+def _planar_deg(a, b, c):
+    """Planar angle at b in degrees (coords6d.py:46-58)."""
+    v1 = a - b
+    v2 = c - b
+    cos = (v1 * v2).sum(-1) / (
+        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1)
+    )
+    return jnp.arccos(cos) * (180.0 / math.pi)
+
+
+def _bin_pairs(dist, omega, theta, phi, same_index):
+    """Apply binning + the <22A / diagonal zero-mask to raw pair geometry."""
+    dist_bin = _get_bins(dist, 3.25, 50.75, NUM_DIST_BINS)
+    omega_bin = _get_bins(omega, -180.0, 180.0, NUM_OMEGA_BINS)
+    theta_bin = _get_bins(theta, -180.0, 180.0, NUM_THETA_BINS)
+    phi_bin = _get_bins(phi, 0.0, 180.0, NUM_PHI_BINS)
+
+    keep = (dist < SPATIAL_MASK_CUTOFF) & (~same_index)
+    zero = jnp.zeros_like(omega_bin)
+    omega_bin = jnp.where(keep, omega_bin, zero)
+    theta_bin = jnp.where(keep, theta_bin, zero)
+    phi_bin = jnp.where(keep, phi_bin, zero)
+    return dist_bin, omega_bin, theta_bin, phi_bin
+
+
+def sixd_bins_at(pos: jnp.ndarray, idx: jnp.ndarray):
+    """6D geometry bins at selected neighbor pairs.
+
+    Args:
+      pos: [N, 3, 3] backbone coords (N/CA/C).
+      idx: [N, K] int neighbor indices (source i = row, dest j = idx[i, k]).
+
+    Returns:
+      (dist_bin, omega_bin, theta_bin, phi_bin): each [N, K] int32.
+    """
+    n_at = pos[..., 0, :]
+    ca = pos[..., 1, :]
+    cb = virtual_cb(pos)
+
+    ca_j = ca[idx]  # [N, K, 3]
+    cb_j = cb[idx]
+    ca_i = ca[:, None, :]
+    cb_i = cb[:, None, :]
+    n_i = n_at[:, None, :]
+
+    dist = jnp.sqrt(jnp.maximum(((ca_i - ca_j) ** 2).sum(-1), 1e-12))
+    omega = _dihedral_deg(ca_i, cb_i, cb_j, ca_j)
+    theta = _dihedral_deg(n_i, ca_i, cb_i, cb_j)
+    phi = _planar_deg(ca_i, cb_i, cb_j)
+
+    same = idx == jnp.arange(pos.shape[0], dtype=idx.dtype)[:, None]
+    return _bin_pairs(dist, omega, theta, phi, same)
+
+
+def sixd_bins_dense(pos: jnp.ndarray):
+    """Dense [N, N] variant (used by tests / DFMDock-lineage distogram labels)."""
+    n = pos.shape[0]
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
+    return sixd_bins_at(pos, idx)
+
+
+def spatial_embed_from_bins(w_spatial, dist_bin, omega_bin, theta_bin, phi_bin):
+    """one_hot([dist|omega|theta|phi]) @ w_spatial, as 4 table lookups.
+
+    w_spatial: [SPATIAL_DIM, edge_dim] (rows laid out per the reference concat
+    order).  Bins: [...] int32.  Returns [..., edge_dim].
+    """
+    return (
+        w_spatial[dist_bin]
+        + w_spatial[OMEGA_OFFSET + omega_bin]
+        + w_spatial[THETA_OFFSET + theta_bin]
+        + w_spatial[PHI_OFFSET + phi_bin]
+    )
