@@ -1,0 +1,71 @@
+"""Stochastic sparse-graph construction: kNN + inverse-cubic-distance samples.
+
+Reference semantics (score_net_mlsb.py:85-157): per node, the 20 nearest
+neighbours by CA distance (self included) plus 40 distinct non-neighbours
+sampled without replacement with probability proportional to 1/d^3; for small
+graphs the counts shrink (n < knn -> knn = n, no samples; n < knn+sample ->
+sample = n - knn, i.e. every node is connected to every other).
+
+TPU-first design: fixed [N, K] neighbour-index tensor + edge validity mask.
+`torch.multinomial(replacement=False)` is replaced by Gumbel-top-k, which
+draws from the *same* without-replacement distribution (Gumbel-max trick) and
+is jit-stable with explicit PRNG keys.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+_BIG = 1e30
+
+
+def select_edges(
+    key: jax.Array,
+    dist: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    knn: int = 20,
+    sample_size: int = 40,
+):
+    """Build the per-node neighbour set.
+
+    Args:
+      key: PRNG key for the sampled edges.
+      dist: [N, N] pairwise CA distances (any values in padded rows/cols).
+      node_mask: [N] bool validity.
+      knn, sample_size: nominal counts (shrunk by masking for tiny graphs).
+
+    Returns:
+      idx: [N, knn+sample_size] int32 neighbour indices (dest j for source i).
+      edge_mask: [N, knn+sample_size] float32 validity (0 for padded slots).
+    """
+    n_tot = dist.shape[0]
+    valid_col = node_mask[None, :]
+    n = node_mask.sum()
+
+    # nearest neighbours (self included: d(i,i)=0 tops the list)
+    masked_neg = jnp.where(valid_col, -dist, _NEG_INF)
+    _, knn_idx = jax.lax.top_k(masked_neg, knn)  # [N, knn]
+
+    # inverse-cubic sampling logits over non-knn valid columns
+    knn_hot = jnp.zeros((n_tot, n_tot), bool)
+    rows = jnp.arange(n_tot)[:, None]
+    knn_hot = knn_hot.at[rows, knn_idx].set(True)
+    logits = -3.0 * jnp.log(jnp.maximum(dist, 1e-10))
+    logits = jnp.where(valid_col & ~knn_hot, logits, _NEG_INF)
+
+    gumbel = jax.random.gumbel(key, (n_tot, n_tot))
+    _, samp_idx = jax.lax.top_k(logits + gumbel, sample_size)  # [N, sample]
+
+    idx = jnp.concatenate([knn_idx, samp_idx], axis=-1).astype(jnp.int32)
+
+    # slot validity: knn slots 0..min(n,knn)-1; sample slots 0..clip(n-knn)-1
+    n_knn = jnp.minimum(n, knn)
+    n_samp = jnp.clip(n - knn, 0, sample_size)
+    slot = jnp.arange(knn + sample_size)
+    slot_ok = jnp.where(slot < knn, slot < n_knn, (slot - knn) < n_samp)
+
+    edge_mask = (
+        node_mask[:, None] & slot_ok[None, :] & node_mask[idx]
+    ).astype(jnp.float32)
+    return idx, edge_mask

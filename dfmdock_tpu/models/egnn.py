@@ -1,0 +1,134 @@
+"""E(n)-equivariant graph convolution layers as dense masked [N, K] ops.
+
+Re-designs reference src/models/egnn.py (E_GCL; itself adapted from
+vgsatorras/egnn) for TPU: instead of a flat edge list + scatter_add, every
+node owns a fixed K-slot neighbour set, so messages are [N, K, C] tensors and
+aggregation is a masked sum over K — which XLA fuses and maps onto the MXU
+(the edge/node MLPs are [N*K, C] matmuls).  GraphNorm runs masked over valid
+nodes (egnn.py:74).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dfmdock_tpu.models import modules as nn
+
+
+def egcl_init(key, node_dim, edge_dim, update_coords: bool):
+    """One E_GCL layer's parameters (reference egnn.py:66-93)."""
+    ks = jax.random.split(key, 8)
+    p = {
+        "edge_mlp": {
+            "l0": nn.linear_init(ks[0], 2 * node_dim + 1 + edge_dim, node_dim),
+            "l1": nn.linear_init(ks[1], node_dim, node_dim),
+        },
+        "node_mlp": {
+            "l0": nn.linear_init(ks[2], 2 * node_dim, node_dim),
+            "gn": nn.graph_norm_init(node_dim),
+            "l1": nn.linear_init(ks[3], node_dim, node_dim),
+        },
+        "att_mlp": {"l0": nn.linear_init(ks[4], node_dim, 1)},
+    }
+    if update_coords:
+        p["coord_mlp"] = {
+            "l0": nn.linear_init(ks[5], node_dim, node_dim),
+            # final layer bias-free; effective init is N(0, 0.02) like all
+            # Linears (the reference's blanket _init_weights overwrites the
+            # xavier(0.001) init — see modules.py docstring)
+            "l1": nn.linear_init(ks[6], node_dim, 1, bias=False),
+        }
+    return p
+
+
+def egcl_apply(
+    p,
+    h,
+    coord,
+    idx,
+    edge_mask,
+    edge_attr,
+    node_mask,
+    lig_mask,
+    *,
+    normalize: bool,
+    update_coords: bool,
+    coord_clamp: float = 2.0,
+):
+    """One E_GCL forward (reference egnn.py:150-159).
+
+    Args:
+      h: [N, C] node features; coord: [N, 3] CA coords.
+      idx: [N, K] neighbour indices; edge_mask: [N, K] validity.
+      edge_attr: [N, K, E]; node_mask: [N] bool; lig_mask: [N] float.
+
+    Returns (h', coord').
+    """
+    # radial + coord_diff (egnn.py:139-148)
+    coord_diff = coord[:, None, :] - coord[idx]  # [N, K, 3]
+    radial = (coord_diff**2).sum(-1, keepdims=True)  # [N, K, 1]
+    if normalize:
+        coord_diff = coord_diff / (jnp.sqrt(radial + 1e-8) + 1.0)
+
+    # edge model with sigmoid attention gate (egnn.py:95-104)
+    k = idx.shape[1]
+    h_i = jnp.broadcast_to(h[:, None, :], (h.shape[0], k, h.shape[1]))
+    h_j = h[idx]
+    edge_in = jnp.concatenate([h_i, h_j, radial, edge_attr], axis=-1)
+    m = jax.nn.silu(nn.linear(p["edge_mlp"]["l0"], edge_in))
+    m = jax.nn.silu(nn.linear(p["edge_mlp"]["l1"], m))
+    att = jax.nn.sigmoid(nn.linear(p["att_mlp"]["l0"], m))
+    m = m * att
+    m = m * edge_mask[..., None]
+
+    # coord model: mean-aggregated weighted displacements, ligand-gated,
+    # weights clamped to +-2 (egnn.py:118-137)
+    new_coord = coord
+    if update_coords:
+        w = jax.nn.silu(nn.linear(p["coord_mlp"]["l0"], m))
+        w = nn.linear(p["coord_mlp"]["l1"], w)
+        w = jnp.clip(w, -coord_clamp, coord_clamp)
+        trans = coord_diff * w * edge_mask[..., None]
+        count = jnp.maximum(edge_mask.sum(-1, keepdims=True), 1.0)
+        agg = trans.sum(1) / count
+        new_coord = coord + agg * lig_mask[:, None]
+
+    # node model: sum-aggregate messages, GraphNorm, residual (egnn.py:106-116)
+    agg_m = m.sum(1)
+    node_in = jnp.concatenate([h, agg_m], axis=-1)
+    out = nn.linear(p["node_mlp"]["l0"], node_in)
+    out = nn.graph_norm(p["node_mlp"]["gn"], out, node_mask)
+    out = jax.nn.silu(out)
+    out = nn.linear(p["node_mlp"]["l1"], out)
+    h_new = h + out
+
+    return h_new, new_coord
+
+
+def egnn_init(key, node_dim, edge_dim, depth):
+    """Stack of E_GCL layers; only the last updates coordinates
+    (score_net_mlsb.py:225-238)."""
+    keys = jax.random.split(key, depth)
+    return [
+        egcl_init(keys[i], node_dim, edge_dim, update_coords=(i == depth - 1))
+        for i in range(depth)
+    ]
+
+
+def egnn_apply(
+    layers, h, coord, idx, edge_mask, edge_attr, node_mask, lig_mask, *, normalize
+):
+    for i, p in enumerate(layers):
+        h, coord = egcl_apply(
+            p,
+            h,
+            coord,
+            idx,
+            edge_mask,
+            edge_attr,
+            node_mask,
+            lig_mask,
+            normalize=normalize,
+            update_coords="coord_mlp" in p,
+        )
+    return h, coord

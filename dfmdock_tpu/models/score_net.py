@@ -1,0 +1,278 @@
+"""ScoreNet — the mlsb-lineage score network (flagship; owns the shipped
+checkpoints' architecture).
+
+Re-design of reference src/models/score_net_mlsb.py:249-449 for TPU:
+
+- padded complexes: one combined [N] node axis (receptor rows then ligand
+  rows then padding), with `node_mask` (validity) and `lig_mask`
+  (valid-ligand) threaded through every reduction;
+- edge features via integer-bin table lookups at the K selected neighbours
+  (exactly one-hot @ W — see features.sixd);
+- the R x L energy head runs as a lax.scan over row chunks so the [R, L, C]
+  intermediate never materializes;
+- dedx = -dE/d(lig CA) is jax.grad of the same pure function (second-order
+  ready for the energy-conservation training loss).
+
+Batch contract (all padded to static N, rec rows first):
+  x:         [N, lm_embed_dim] node features (ESM(+)one-hot)
+  pos:       [N, 3, 3] backbone N/CA/C coords
+  node_mask: [N] bool
+  lig_mask:  [N] float32 — 1.0 for *valid* ligand rows, else 0.0
+  res_id:    [N] int32 original residue indices (for relpos)
+  asym_id:   [N] int32 chain id (0 receptor, 1 ligand)
+  t:         [] float32 diffusion time
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dfmdock_tpu.config import ModelConfig
+from dfmdock_tpu.features.positional import NUM_RELPOS_CLASSES, relpos_bin_at
+from dfmdock_tpu.features.sixd import (
+    SPATIAL_DIM,
+    pairwise_ca_dist,
+    sixd_bins_at,
+    spatial_embed_from_bins,
+)
+from dfmdock_tpu.models import modules as nn
+from dfmdock_tpu.models.edges import select_edges
+from dfmdock_tpu.models.egnn import egnn_apply, egnn_init
+
+ENERGY_ROW_CHUNK = 64  # padded N must be a multiple of this
+
+
+class ScoreNet:
+    """Pure-functional model: `params = ScoreNet(cfg).init(key)`;
+    `out = net.apply(params, batch, key, ...)`."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: jax.Array):
+        c = self.cfg
+        ks = jax.random.split(key, 13)
+        params = {
+            "single_embed": nn.linear_init(ks[0], c.lm_embed_dim, c.node_dim, bias=False),
+            # stored as [bins, edge_dim] lookup tables == the reference's
+            # Linear(spatial/positional -> edge_dim, bias=False) weights
+            "spatial_embed": nn.linear_init(ks[1], SPATIAL_DIM, c.edge_dim, bias=False),
+            "positional_embed": nn.linear_init(
+                ks[2], NUM_RELPOS_CLASSES, c.edge_dim, bias=False
+            ),
+            "egnn": egnn_init(ks[3], c.node_dim, c.edge_dim, c.depth),
+            "to_energy": {
+                "l0": nn.linear_init(ks[4], 2 * c.node_dim, c.node_dim, bias=False),
+                "ln": nn.layer_norm_init(c.node_dim),
+                "l1": nn.linear_init(ks[5], c.node_dim, 1, bias=False),
+            },
+            "to_ires": {
+                "l0": nn.linear_init(ks[6], c.node_dim, 2 * c.node_dim),
+                "l1": nn.linear_init(ks[7], 2 * c.node_dim, 2 * c.node_dim),
+                "l2": nn.linear_init(ks[8], 2 * c.node_dim, 1),
+            },
+            "t_embed": {
+                **nn.gaussian_fourier_init(ks[9], c.inner_dim),
+                "l0": nn.linear_init(ks[12], c.inner_dim, c.inner_dim, bias=False),
+            },
+            "tr_scale": self._scale_mlp_init(ks[10]),
+            "rot_scale": self._scale_mlp_init(ks[11]),
+        }
+        return params
+
+    def _scale_mlp_init(self, key):
+        c = self.cfg
+        k0, k1 = jax.random.split(key)
+        return {
+            "l0": nn.linear_init(k0, c.inner_dim + 1, c.inner_dim, bias=False),
+            "ln": nn.layer_norm_init(c.inner_dim),
+            "l1": nn.linear_init(k1, c.inner_dim, 1, bias=False),
+        }
+
+    # ----------------------------------------------------------------- apply
+
+    def apply(
+        self,
+        params,
+        batch,
+        key: jax.Array,
+        *,
+        predict: bool = False,
+        return_energy: bool = False,
+        train: bool = False,
+    ):
+        """Forward pass. `predict` skips dedx (inference); `return_energy`
+        returns the scalar energy only (contrastive loss); `train` enables
+        dropout and second-order-ready dedx."""
+        c = self.cfg
+        x = batch["x"]
+        pos = batch["pos"]
+        node_mask = batch["node_mask"]
+        lig_mask = batch["lig_mask"]
+        t = jnp.asarray(batch["t"], jnp.float32)
+
+        valid = node_mask.astype(jnp.float32)
+        lig_valid = lig_mask * valid
+        rec_valid = (1.0 - lig_mask) * valid
+        n_lig = jnp.maximum(lig_valid.sum(), 1.0)
+
+        # center on the ligand-CA centroid (score_net_mlsb.py:353-355); the
+        # center is detached from the dedx graph (requires_grad set after
+        # centering in the reference)
+        center = (pos[:, 1, :] * lig_valid[:, None]).sum(0) / n_lig
+        pos = pos - jax.lax.stop_gradient(center)
+
+        k_edges, k_drop = jax.random.split(key)
+
+        def core(pos_in):
+            return self._core(
+                params, batch, x, pos_in, node_mask, lig_mask, t, k_edges, k_drop, train
+            )
+
+        if return_energy:
+            return core(pos)[0]
+
+        if predict:
+            energy, aux = core(pos)
+            dedx = None
+        else:
+            # dedx = -dE/d(pos); only ligand CA rows are kept, matching the
+            # reference autograd w.r.t. lig_pos (score_net_mlsb.py:428-438)
+            (energy, aux), grads = jax.value_and_grad(core, has_aux=True)(pos)
+            dedx = -grads[:, 1, :] * lig_valid[:, None]
+
+        h, coord_out, pos_ca, D, pair_valid = aux
+
+        # interface-residue head
+        ires = self._ires(params["to_ires"], h)
+
+        # force from the equivariant coordinate update of ligand CAs
+        # (score_net_mlsb.py:396-398)
+        r = jax.lax.stop_gradient(pos_ca)
+        f = (coord_out - r) * lig_valid[:, None]
+
+        # translation / rotation scores with learned norm rescaling
+        # (score_net_mlsb.py:401-411)
+        tr_pred = f.sum(0, keepdims=True) / n_lig
+        rot_pred = jnp.cross(r, f).sum(0, keepdims=True) / n_lig
+
+        t_emb = self._t_embed(params["t_embed"], t)
+        tr_score = self._rescale(
+            params["tr_scale"], tr_pred, t_emb, k_drop, train, salt=0
+        )
+        rot_score = self._rescale(
+            params["rot_scale"], rot_pred, t_emb, k_drop, train, salt=1
+        )
+
+        outputs = {
+            "tr_score": tr_score,
+            "rot_score": rot_score,
+            "energy": energy,
+            "f": f,
+            "ires": ires,
+        }
+        if predict:
+            outputs["num_clashes"] = (pair_valid * (D <= 3.0)).sum().astype(jnp.int32)
+        else:
+            outputs["dedx"] = dedx
+        return outputs
+
+    # ------------------------------------------------------------- internals
+
+    def _core(self, params, batch, x, pos, node_mask, lig_mask, t, k_edges, k_drop, train):
+        """Everything the energy depends on; differentiable w.r.t. `pos`."""
+        c = self.cfg
+        valid = node_mask.astype(jnp.float32)
+        lig_valid = lig_mask * valid
+        rec_valid = (1.0 - lig_mask) * valid
+
+        ca = pos[:, 1, :]
+        dist = pairwise_ca_dist(pos)
+
+        # node embedding
+        h = nn.linear(params["single_embed"], x)
+
+        # stochastic sparse graph + edge features (gathered bins -> lookups)
+        idx, edge_mask = select_edges(
+            k_edges,
+            jax.lax.stop_gradient(dist),
+            node_mask,
+            knn=c.knn,
+            sample_size=c.sample_size,
+        )
+        db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
+        e_spatial = spatial_embed_from_bins(params["spatial_embed"]["w"], db, ob, tb, pb)
+        rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
+        edge_attr = e_spatial + params["positional_embed"]["w"][rp]
+
+        # EGNN backbone (coord update in the last layer only, ligand-gated)
+        h, coord_out = egnn_apply(
+            params["egnn"],
+            h,
+            ca,
+            idx,
+            edge_mask,
+            edge_attr,
+            node_mask,
+            lig_valid,
+            normalize=c.normalize,
+        )
+
+        # pair mask: receptor x ligand within cutoff (score_net_mlsb.py:389)
+        pair_valid = rec_valid[:, None] * lig_valid[None, :]
+        pair_mask = pair_valid * (dist < c.cut_off)
+
+        energy = self._energy(params["to_energy"], h, pair_mask)
+        return energy, (h, coord_out, ca, dist, pair_valid)
+
+    def _energy(self, p, h, pair_mask):
+        """Masked mean of MLP(concat[h_i, h_j]) over rec x lig pairs,
+        scanned over row chunks (score_net_mlsb.py:289-294,386-390)."""
+        n = h.shape[0]
+        c = self.cfg.node_dim
+        w = p["l0"]["w"]  # [2C, C] split into the h_i / h_j halves
+        hr = h @ w[:c]
+        hl = h @ w[c:]
+
+        chunk = min(ENERGY_ROW_CHUNK, n)
+        assert n % chunk == 0, f"padded N={n} must be a multiple of {chunk}"
+        hr_chunks = hr.reshape(n // chunk, chunk, c)
+        mask_chunks = pair_mask.reshape(n // chunk, chunk, n)
+
+        def body(carry, inp):
+            acc_num, acc_den = carry
+            hr_c, m_c = inp
+            pair = hr_c[:, None, :] + hl[None, :, :]  # [chunk, N, C]
+            e = nn.layer_norm(p["ln"], pair)
+            e = jax.nn.silu(e)
+            e = (e @ p["l1"]["w"]).squeeze(-1)  # [chunk, N]
+            return (acc_num + (e * m_c).sum(), acc_den + m_c.sum()), None
+
+        (num, den), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)), (hr_chunks, mask_chunks)
+        )
+        return num / (den + 1e-6)
+
+    def _ires(self, p, h):
+        y = jax.nn.silu(nn.linear(p["l0"], h))
+        y = jax.nn.silu(nn.linear(p["l1"], y))
+        return nn.linear(p["l2"], y)
+
+    def _t_embed(self, p, t):
+        emb = nn.gaussian_fourier(p, t[None])  # [1, inner]
+        return jax.nn.sigmoid(emb @ p["l0"]["w"])  # [1, inner]
+
+    def _rescale(self, p, vec, t_emb, key, train, salt):
+        """score = unit(vec) * softplus(MLP([|vec|, t_emb]))
+        (score_net_mlsb.py:313-330,407-411)."""
+        norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)  # [1, 1]
+        inp = jnp.concatenate([norm, t_emb], axis=-1)
+        y = nn.linear(p["l0"], inp)
+        y = nn.layer_norm(p["ln"], y)
+        y = nn.dropout(jax.random.fold_in(key, salt), y, self.cfg.dropout, not train)
+        y = jax.nn.silu(y)
+        y = nn.linear(p["l1"], y)
+        scale = jax.nn.softplus(y)
+        return vec / (norm + 1e-6) * scale
