@@ -267,7 +267,8 @@ class ScoreNet:
     def _rescale(self, p, vec, t_emb, key, train, salt):
         """score = unit(vec) * softplus(MLP([|vec|, t_emb]))
         (score_net_mlsb.py:313-330,407-411)."""
-        norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)  # [1, 1]
+        # sqrt(x+eps) keeps the gradient finite if the predicted vector is ~0
+        norm = jnp.sqrt((vec * vec).sum(-1, keepdims=True) + 1e-24)  # [1, 1]
         inp = jnp.concatenate([norm, t_emb], axis=-1)
         y = nn.linear(p["l0"], inp)
         y = nn.layer_norm(p["ln"], y)

@@ -1,0 +1,158 @@
+"""Training losses for the mlsb lineage (score-matching + force-matching).
+
+Mirrors reference src/models/score_model_mlsb.py:65-191 as one pure function:
+sample t ~ U(eps, 1), draw forward rot/tr perturbations, perturb the ligand,
+run the net, and combine
+  tr + rot + ec + contrastive + interface
+losses (each optionally in the separate axis/angle form).  All reductions are
+masked so padded rows contribute nothing.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dfmdock_tpu.config import ExperimentConfig
+from dfmdock_tpu.sampler.em import modify_coords
+
+_EPS_T = 1e-5
+
+
+def interface_labels(pos, lig_mask, node_mask, threshold: float = 8.0):
+    """[N,1] binary interface labels: CA within 8 A of the other chain
+    (reference ppi_dataset.py:105-123)."""
+    valid = node_mask.astype(jnp.float32)
+    lig = lig_mask * valid
+    rec = (1.0 - lig_mask) * valid
+    ca = pos[:, 1, :]
+    d = jnp.sqrt(jnp.maximum(((ca[:, None] - ca[None, :]) ** 2).sum(-1), 1e-12))
+    cross = rec[:, None] * lig[None, :]
+    close = (d < threshold) & (cross > 0)
+    is_iface = close.any(1) | close.any(0)
+    return (is_iface.astype(jnp.float32) * valid)[:, None]
+
+
+def _safe_norm(x, axis=-1, keepdims=True):
+    """norm with a zero (not NaN) gradient at x == 0 — rec/padding rows of f
+    and dedx are exactly zero and the ec loss differentiates through them."""
+    sq = (x * x).sum(axis=axis, keepdims=keepdims)
+    return jnp.sqrt(sq + 1e-24)
+
+
+def _axis_angle_mse(pred, gt, scale, n=None):
+    """0.5 * (axis MSE + angle MSE / scale^2) decomposition
+    (score_model_mlsb.py:134-168)."""
+    gt_angle = _safe_norm(gt)
+    gt_axis = gt / (gt_angle + 1e-6)
+    pred_angle = _safe_norm(pred)
+    pred_axis = pred / (pred_angle + 1e-6)
+    if n is None:
+        axis_loss = ((pred_axis - gt_axis) ** 2).mean()
+        angle_loss = ((pred_angle - gt_angle) ** 2 / scale**2).mean()
+    else:
+        axis_loss = ((pred_axis - gt_axis) ** 2).sum() / (3 * n)
+        angle_loss = ((pred_angle - gt_angle) ** 2 / scale**2).sum() / n
+    return 0.5 * (axis_loss + angle_loss)
+
+
+def _bce_logits(logits, labels, mask):
+    """Masked mean binary cross-entropy with logits."""
+    per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    m = mask[:, None]
+    return (per * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def loss_fn(params, net, r3, so3, batch, key, exp: ExperimentConfig):
+    """One training example's losses. Returns (total_loss, dict of terms)."""
+    k_t, k_tr, k_rot, k_net, k_net_gt = jax.random.split(key, 5)
+
+    t = jax.random.uniform(k_t) * (1.0 - _EPS_T) + _EPS_T
+
+    valid = batch["node_mask"].astype(jnp.float32)
+    lig_valid = batch["lig_mask"] * valid
+    n_lig = jnp.maximum(lig_valid.sum(), 1.0)
+
+    # forward perturbation (score_model_mlsb.py:72-94)
+    if exp.perturb_tr:
+        tr_scale = r3.score_scaling(t)
+        tr_update, tr_score_gt = r3.forward_marginal(k_tr, t)
+    else:
+        tr_scale = jnp.float32(1.0)
+        tr_update = jnp.zeros((1, 3))
+        tr_score_gt = jnp.zeros((1, 3))
+    if exp.perturb_rot:
+        rot_scale = so3.score_scaling(t)
+        rot_update, rot_score_gt = so3.forward_marginal(k_rot, t)
+    else:
+        rot_scale = jnp.float32(1.0)
+        rot_update = jnp.zeros((1, 3))
+        rot_score_gt = jnp.zeros((1, 3))
+
+    gt_pos = batch["pos"]
+    noised_pos = modify_coords(gt_pos, batch["lig_mask"], rot_update, tr_update)
+
+    noised = dict(batch)
+    noised["pos"] = noised_pos
+    noised["t"] = t
+
+    outputs = net.apply(params, noised, k_net, predict=not exp.grad_energy, train=True)
+    tr_score = outputs["tr_score"]
+    rot_score = outputs["rot_score"]
+    energy_noised = outputs["energy"]
+
+    # energy-conservation loss: force head vs -dE/dx (score_model_mlsb.py:109-121)
+    if exp.grad_energy:
+        f = outputs["f"]
+        dedx = outputs["dedx"]
+        if exp.separate_energy_loss:
+            ec_loss = _axis_angle_mse(f, dedx, jnp.float32(1.0), n=n_lig)
+        else:
+            ec_loss = ((dedx - f) ** 2 * lig_valid[:, None]).sum() / (3 * n_lig)
+    else:
+        ec_loss = jnp.float32(0.0)
+
+    # score-matching losses (score_model_mlsb.py:134-168)
+    if exp.perturb_tr:
+        if exp.separate_tr_loss:
+            tr_loss = _axis_angle_mse(tr_score, tr_score_gt, tr_scale)
+        else:
+            tr_loss = ((tr_score - tr_score_gt) ** 2 / tr_scale**2).mean()
+    else:
+        tr_loss = jnp.float32(0.0)
+    if exp.perturb_rot:
+        if exp.separate_rot_loss:
+            rot_loss = _axis_angle_mse(rot_score, rot_score_gt, rot_scale)
+        else:
+            rot_loss = ((rot_score - rot_score_gt) ** 2 / rot_scale**2).mean()
+    else:
+        rot_loss = jnp.float32(0.0)
+
+    # interface BCE on valid nodes (score_model_mlsb.py:171-175)
+    if exp.use_interface_loss:
+        labels = batch.get("ires")
+        if labels is None:
+            labels = interface_labels(gt_pos, batch["lig_mask"], batch["node_mask"])
+        ires_loss = _bce_logits(outputs["ires"], labels, valid)
+    else:
+        ires_loss = jnp.float32(0.0)
+
+    # contrastive energy: gt complex should have lower energy than the noised
+    # one; CE over [-E_gt, -E_noised] with target 0 == softplus(E_gt - E_noised)
+    # (score_model_mlsb.py:177-185)
+    if exp.use_contrastive_loss:
+        gt_batch = dict(batch)
+        gt_batch["t"] = t
+        energy_gt = net.apply(params, gt_batch, k_net_gt, return_energy=True, train=True)
+        el_loss = jax.nn.softplus(energy_gt - energy_noised)
+    else:
+        el_loss = jnp.float32(0.0)
+
+    loss = tr_loss + rot_loss + ec_loss + el_loss + ires_loss
+    return loss, {
+        "tr_loss": tr_loss,
+        "rot_loss": rot_loss,
+        "ec_loss": ec_loss,
+        "el_loss": el_loss,
+        "ires_loss": ires_loss,
+        "loss": loss,
+    }
