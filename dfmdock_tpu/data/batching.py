@@ -22,6 +22,8 @@ def pad_complex(
     rec_pos: np.ndarray,
     lig_pos: np.ndarray,
     pad_to: int | None = None,
+    res_id: np.ndarray | None = None,
+    asym_id: np.ndarray | None = None,
 ):
     """Build the static-shape batch dict (numpy; convert to jnp at the edge).
 
@@ -53,18 +55,23 @@ def pad_complex(
     lig_mask[R : R + L] = 1.0
 
     # res_id runs over the concatenated complex (inference convention,
-    # inference_base.py:235); asym_id 0=receptor 1=ligand
-    res_id = np.arange(n_pad, dtype=np.int32)
-    asym_id = np.zeros(n_pad, np.int32)
-    asym_id[R:] = 1
+    # inference_base.py:235) unless original (cropped) ids are supplied;
+    # asym_id 0=receptor 1=ligand
+    rid = np.arange(n_pad, dtype=np.int32)
+    if res_id is not None:
+        rid[:n] = res_id
+    aid = np.zeros(n_pad, np.int32)
+    aid[R:] = 1
+    if asym_id is not None:
+        aid[:n] = asym_id
 
     return {
         "x": x,
         "pos": pos,
         "node_mask": node_mask,
         "lig_mask": lig_mask,
-        "res_id": res_id,
-        "asym_id": asym_id,
+        "res_id": rid,
+        "asym_id": aid,
         "n_rec": np.int32(R),
         "n_lig": np.int32(L),
     }
