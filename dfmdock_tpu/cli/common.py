@@ -1,0 +1,86 @@
+"""Shared CLI plumbing: model/params loading and per-complex docking runs."""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfmdock_tpu.config import DFMDockConfig, SamplerConfig
+from dfmdock_tpu.data.dataset import complex_to_batch
+from dfmdock_tpu.diffusion import R3Diffuser, SO3Diffuser
+from dfmdock_tpu.eval import compute_metrics
+from dfmdock_tpu.models import ScoreNet
+from dfmdock_tpu.sampler import EMSampler
+
+
+def load_model(ckpt: str | None, cfg: DFMDockConfig, seed: int = 0):
+    """Build the flagship ScoreNet and load params.
+
+    ckpt: None -> random init; *.ckpt -> torch Lightning conversion;
+    directory -> orbax restore.
+    """
+    net = ScoreNet(cfg.model)
+    params = net.init(jax.random.PRNGKey(seed))
+    if ckpt is None:
+        return net, params
+    if os.path.isdir(ckpt):
+        from dfmdock_tpu.train.trainer import Trainer
+
+        return net, Trainer.load(ckpt, params)
+    from dfmdock_tpu.utils.torch_convert import load_lightning_checkpoint
+
+    converted, _ = load_lightning_checkpoint(ckpt, lineage="mlsb")
+    return net, jax.tree_util.tree_map(jnp.asarray, converted)
+
+
+def build_sampler(net, cfg: DFMDockConfig):
+    r3 = R3Diffuser(cfg.diffuser.r3)
+    so3 = SO3Diffuser(cfg.diffuser.so3)
+    return EMSampler(net, r3, so3, cfg.sampler)
+
+
+def dock_complex(
+    sampler,
+    params,
+    raw: dict,
+    key,
+    num_samples: int,
+    native: tuple | None = None,
+):
+    """Sample num_samples poses for one complex; return per-sample records
+    and the raw results (positions padded)."""
+    batch_np = complex_to_batch(raw)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    results = sampler.sample_jit(params, batch, key, num_samples)
+
+    R = int(raw["rec_x"].shape[0])
+    L = int(raw["lig_x"].shape[0])
+    pos = np.asarray(results["pos"])
+    energies = np.asarray(results["energy"])
+    clashes = np.asarray(results["num_clashes"])
+
+    records = []
+    for i in range(num_samples):
+        rec = {"id": raw.get("id", "complex"), "index": str(i)}
+        if native is not None:
+            rec.update(
+                compute_metrics((pos[i, :R], pos[i, R : R + L]), native)
+            )
+        rec["energy"] = float(energies[i])
+        rec["num_clashes"] = int(clashes[i])
+        records.append(rec)
+    return records, results, (R, L)
+
+
+def write_csv(path: str, rows: list[dict]):
+    import csv
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)

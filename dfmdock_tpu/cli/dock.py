@@ -1,0 +1,144 @@
+"""Single/batch docking CLI — the inference_single.py / inference_base.py
+equivalent, TPU-native.
+
+Inputs: either a preprocessed --npz complex (carries ESM embeddings) or two
+PDB files (--pdb REC LIG; ESM2 via a locally cached HF model).  All requested
+poses run as ONE jitted vmapped reverse SDE; the minimum-energy pose is
+written (inference_base.py:601-670 semantics).
+
+Examples:
+  python -m dfmdock_tpu.cli.dock --npz data/db5_npz/1AVX.npz --num-samples 16
+  python -m dfmdock_tpu.cli.dock --pdb rec.pdb lig.pdb --ckpt ckpts/dips.ckpt
+  python -m dfmdock_tpu.cli.dock --csv pairs.csv --out-dir out/
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from dfmdock_tpu.cli.common import build_sampler, dock_complex, load_model, write_csv
+from dfmdock_tpu.config import DFMDockConfig, SamplerConfig
+from dfmdock_tpu.data.convert import load_npz_complex
+from dfmdock_tpu.data.pdb_io import get_full_coords, parse_pdb, save_pdb
+from dfmdock_tpu.sampler import EMSampler
+
+
+def load_inputs(args) -> list[dict]:
+    """Resolve inputs to a list of raw complex dicts."""
+    jobs = []
+    if args.npz:
+        d = load_npz_complex(args.npz)
+        d["id"] = os.path.splitext(os.path.basename(args.npz))[0]
+        jobs.append(d)
+    elif args.pdb:
+        jobs.append(_complex_from_pdbs("complex", args.pdb[0], args.pdb[1], args))
+    elif args.csv:
+        import csv
+
+        with open(args.csv) as f:
+            for row in csv.reader(f):
+                cid, p1, p2 = row[0], row[1], row[2]
+                if p1.endswith(".npz"):
+                    d = load_npz_complex(p1)
+                    d["id"] = cid
+                    jobs.append(d)
+                else:
+                    jobs.append(_complex_from_pdbs(cid, p1, p2, args))
+    return jobs
+
+
+def _complex_from_pdbs(cid, rec_pdb, lig_pdb, args):
+    rec = parse_pdb(rec_pdb)
+    lig = parse_pdb(lig_pdb)
+    if args.one_hot_only:
+        rec_x = np.zeros((len(rec.seq), 1280), np.float32)
+        lig_x = np.zeros((len(lig.seq), 1280), np.float32)
+    else:
+        from dfmdock_tpu.data.esm import ESMProvider
+
+        esm = ESMProvider()
+        rec_x = esm.embed(rec.seq)
+        lig_x = esm.embed(lig.seq)
+    return {
+        "id": cid,
+        "rec_x": rec_x,
+        "rec_pos": rec.bb_coords,
+        "rec_seq": rec.seq,
+        "lig_x": lig_x,
+        "lig_pos": lig.bb_coords,
+        "lig_seq": lig.seq,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--npz", help="preprocessed complex npz")
+    src.add_argument("--pdb", nargs=2, metavar=("REC", "LIG"), help="two PDB files")
+    src.add_argument("--csv", help="CSV of (id, input1, input2) rows")
+    ap.add_argument("--ckpt", default=None,
+                    help="orbax dir or torch Lightning .ckpt (default: random init)")
+    ap.add_argument("--out-dir", default="./out")
+    ap.add_argument("--out-csv", default="metrics.csv")
+    ap.add_argument("--num-samples", type=int, default=16)
+    ap.add_argument("--num-steps", type=int, default=40)
+    ap.add_argument("--tr-noise-scale", type=float, default=0.5)
+    ap.add_argument("--rot-noise-scale", type=float, default=0.5)
+    ap.add_argument("--use-clash-force", action="store_true")
+    ap.add_argument("--noise-annealing", action="store_true")
+    ap.add_argument("--ode", action="store_true")
+    ap.add_argument("--one-hot-only", action="store_true",
+                    help="skip ESM (model must be trained without it)")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--write-all-poses", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = DFMDockConfig(
+        sampler=SamplerConfig(
+            num_steps=args.num_steps,
+            tr_noise_scale=args.tr_noise_scale,
+            rot_noise_scale=args.rot_noise_scale,
+            use_clash_force=args.use_clash_force,
+            noise_annealing=args.noise_annealing,
+            ode=args.ode,
+        )
+    )
+    net, params = load_model(args.ckpt, cfg)
+    sampler = build_sampler(net, cfg)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(args.seed)
+    all_rows = []
+    for job in load_inputs(args):
+        key, sub = jax.random.split(key)
+        native = (job["rec_pos"], job["lig_pos"])
+        rows, results, (R, L) = dock_complex(
+            sampler, params, job, sub, args.num_samples, native=native
+        )
+        all_rows.extend(rows)
+
+        best = int(EMSampler.rank_by_energy(results))
+        pos = np.asarray(results["pos"])
+        indices = range(args.num_samples) if args.write_all_poses else [best]
+        for i in indices:
+            coords = np.concatenate([pos[i, :R], pos[i, R : R + L]])
+            save_pdb(
+                os.path.join(args.out_dir, f"{job['id']}_{i}.pdb"),
+                get_full_coords(coords),
+                job["rec_seq"] + job["lig_seq"],
+                delim=R - 1,
+            )
+        print(
+            f"{job['id']}: best pose {best} energy {rows[best]['energy']:.4f}"
+            + (f" DockQ {rows[best].get('DockQ', float('nan')):.3f}" if "DockQ" in rows[best] else "")
+        )
+
+    write_csv(os.path.join(args.out_dir, args.out_csv), all_rows)
+    print(f"wrote {os.path.join(args.out_dir, args.out_csv)}")
+
+
+if __name__ == "__main__":
+    main()

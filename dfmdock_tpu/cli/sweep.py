@@ -1,0 +1,139 @@
+"""Benchmark sweep over a dataset — the inference_mlsb.py equivalent.
+
+Runs N sampled poses per complex over an NPZ dataset (default: the bundled
+DB5 test set), writes the DockQ/energy CSV, optional final-pose PDBs and
+multi-MODEL trajectory PDBs, and supports the gt-energy probe mode
+(inference_mlsb.py:219-227).  The sweep is re-entrant: finished complexes
+found in the CSV are skipped on resume (--resume).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import jax
+import numpy as np
+
+from dfmdock_tpu.cli.common import build_sampler, dock_complex, load_model
+from dfmdock_tpu.config import DFMDockConfig, SamplerConfig
+from dfmdock_tpu.data.dataset import NPZDataset, complex_to_batch
+from dfmdock_tpu.data.pdb_io import get_full_coords, save_pdb, save_trajectory
+from dfmdock_tpu.eval import compute_metrics
+from dfmdock_tpu.sampler import EMSampler
+
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", default="data/db5_npz")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--out-csv", default="csv_files/sweep.csv")
+    ap.add_argument("--out-pdb-dir", default=None, help="write best-pose PDBs here")
+    ap.add_argument("--out-trj-dir", default=None, help="write trajectory PDBs here")
+    ap.add_argument("--num-samples", type=int, default=1)
+    ap.add_argument("--num-steps", type=int, default=40)
+    ap.add_argument("--tr-noise-scale", type=float, default=0.5)
+    ap.add_argument("--rot-noise-scale", type=float, default=0.5)
+    ap.add_argument("--ode", action="store_true")
+    ap.add_argument("--use-clash-force", action="store_true")
+    ap.add_argument("--gt-energy", action="store_true",
+                    help="evaluate the ground-truth pose energy only")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    cfg = DFMDockConfig(
+        sampler=SamplerConfig(
+            num_steps=args.num_steps,
+            tr_noise_scale=args.tr_noise_scale,
+            rot_noise_scale=args.rot_noise_scale,
+            use_clash_force=args.use_clash_force,
+            ode=args.ode,
+        )
+    )
+    net, params = load_model(args.ckpt, cfg)
+    sampler = build_sampler(net, cfg)
+    ds = NPZDataset(args.data_dir)
+    ids = ds.ids[: args.limit] if args.limit else ds.ids
+
+    done = set()
+    rows = []
+    if args.resume and os.path.exists(args.out_csv):
+        with open(args.out_csv) as f:
+            for row in csv.DictReader(f):
+                rows.append(row)
+                done.add(row["id"])
+
+    key = jax.random.PRNGKey(args.seed)
+    for idx, cid in enumerate(ids):
+        if cid in done:
+            continue
+        raw = ds.load_raw(ds.ids.index(cid))
+        native = (raw["rec_pos"], raw["lig_pos"])
+        key, sub = jax.random.split(key)
+
+        if args.gt_energy:
+            batch = {k: jnp.asarray(v) for k, v in complex_to_batch(raw).items()}
+            batch["t"] = jnp.float32(1e-5)
+            out = net.apply(params, batch, sub, predict=True)
+            rec = {"id": cid}
+            rec.update(compute_metrics(native, native))
+            rec["energy"] = float(out["energy"])
+            rec["num_clashes"] = int(out["num_clashes"])
+            rows.append(rec)
+        else:
+            recs, results, (R, L) = dock_complex(
+                sampler, params, raw, sub, args.num_samples, native=native
+            )
+            rows.extend(recs)
+            pos = np.asarray(results["pos"])
+            if args.out_pdb_dir:
+                os.makedirs(args.out_pdb_dir, exist_ok=True)
+                for i in range(args.num_samples):
+                    coords = np.concatenate([pos[i, :R], pos[i, R : R + L]])
+                    save_pdb(
+                        os.path.join(args.out_pdb_dir, f"{cid}_p{i}.pdb"),
+                        get_full_coords(coords),
+                        raw["rec_seq"] + raw["lig_seq"],
+                        delim=R - 1,
+                    )
+            if args.out_trj_dir:
+                os.makedirs(args.out_trj_dir, exist_ok=True)
+                # re-run pose 0 with trajectory recording
+                batch = {k: jnp.asarray(v) for k, v in complex_to_batch(raw).items()}
+                one = sampler.sample_one(
+                    params, batch, jax.random.split(sub, args.num_samples)[0],
+                    record_trajectory=True,
+                )
+                traj = np.asarray(one["trajectory"])
+                save_trajectory(
+                    os.path.join(args.out_trj_dir, f"{cid}_p0.pdb"),
+                    [t[:R] for t in traj],
+                    [t[R : R + L] for t in traj],
+                    raw["rec_seq"],
+                    raw["lig_seq"],
+                )
+        print(f"[{idx + 1}/{len(ids)}] {cid} done")
+        _write(args.out_csv, rows)
+
+    _write(args.out_csv, rows)
+    print(f"wrote {args.out_csv} ({len(rows)} rows)")
+
+
+def _write(path, rows):
+    if not rows:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    keys = sorted({k for r in rows for k in r}, key=lambda k: (k != "id", k))
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
+if __name__ == "__main__":
+    main()
