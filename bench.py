@@ -25,13 +25,18 @@ def measure_tpu():
     import jax
     import jax.numpy as jnp
 
-    from dfmdock_tpu.config import DFMDockConfig, SamplerConfig
+    from dfmdock_tpu.config import DFMDockConfig, ModelConfig, SamplerConfig
     from dfmdock_tpu.data.dataset import NPZDataset, complex_to_batch
     from dfmdock_tpu.diffusion import R3Diffuser, SO3Diffuser
     from dfmdock_tpu.models import ScoreNet
     from dfmdock_tpu.sampler import EMSampler
 
-    cfg = DFMDockConfig(sampler=SamplerConfig(num_steps=NUM_STEPS))
+    # fused Pallas edge pipeline + bf16 MXU compute (f32 accumulation): score
+    # errors are orders of magnitude below the SDE's injected noise
+    cfg = DFMDockConfig(
+        model=ModelConfig(compute_dtype="bfloat16", use_pallas=True),
+        sampler=SamplerConfig(num_steps=NUM_STEPS),
+    )
     net = ScoreNet(cfg.model)
     params = net.init(jax.random.PRNGKey(0))
     r3 = R3Diffuser(cfg.diffuser.r3)

@@ -29,6 +29,11 @@ class ModelConfig:
     # (incl. self) + 40 inverse-cubic-distance samples per node.
     knn: int = 20
     sample_size: int = 40
+    # MXU compute dtype for the big matmuls ('float32' or 'bfloat16'); params
+    # and accumulations stay float32 either way.
+    compute_dtype: str = "float32"
+    # Fused Pallas EGCL message kernel on the inference (predict) path.
+    use_pallas: bool = False
 
     @property
     def edges_per_node(self) -> int:

@@ -45,14 +45,16 @@ def select_edges(
 
     # nearest neighbours (self included: d(i,i)=0 tops the list)
     masked_neg = jnp.where(valid_col, -dist, _NEG_INF)
-    _, knn_idx = jax.lax.top_k(masked_neg, knn)  # [N, knn]
+    knn_neg, knn_idx = jax.lax.top_k(masked_neg, knn)  # [N, knn]
 
-    # inverse-cubic sampling logits over non-knn valid columns
-    knn_hot = jnp.zeros((n_tot, n_tot), bool)
-    rows = jnp.arange(n_tot)[:, None]
-    knn_hot = knn_hot.at[rows, knn_idx].set(True)
+    # inverse-cubic sampling logits over non-knn valid columns.  kNN members
+    # are excluded by distance threshold (d > d_knn_max) instead of a
+    # [N, N] scatter — equivalent up to measure-zero distance ties, and much
+    # cheaper on TPU.
+    kth_neg = knn_neg[:, -1:]  # -d of the knn-th neighbour
+    non_knn = masked_neg < kth_neg
     logits = -3.0 * jnp.log(jnp.maximum(dist, 1e-10))
-    logits = jnp.where(valid_col & ~knn_hot, logits, _NEG_INF)
+    logits = jnp.where(valid_col & non_knn, logits, _NEG_INF)
 
     gumbel = jax.random.gumbel(key, (n_tot, n_tot))
     _, samp_idx = jax.lax.top_k(logits + gumbel, sample_size)  # [N, sample]

@@ -54,6 +54,8 @@ def egcl_apply(
     normalize: bool,
     update_coords: bool,
     coord_clamp: float = 2.0,
+    dtype=None,
+    use_pallas: bool = False,
 ):
     """One E_GCL forward (reference egnn.py:150-159).
 
@@ -70,22 +72,37 @@ def egcl_apply(
     if normalize:
         coord_diff = coord_diff / (jnp.sqrt(radial + 1e-8) + 1.0)
 
-    # edge model with sigmoid attention gate (egnn.py:95-104)
-    k = idx.shape[1]
-    h_i = jnp.broadcast_to(h[:, None, :], (h.shape[0], k, h.shape[1]))
-    h_j = h[idx]
-    edge_in = jnp.concatenate([h_i, h_j, radial, edge_attr], axis=-1)
-    m = jax.nn.silu(nn.linear(p["edge_mlp"]["l0"], edge_in))
-    m = jax.nn.silu(nn.linear(p["edge_mlp"]["l1"], m))
-    att = jax.nn.sigmoid(nn.linear(p["att_mlp"]["l0"], m))
+    # edge model with sigmoid attention gate (egnn.py:95-104).
+    # The first Linear over concat[h_i, h_j, radial, e_attr] is decomposed by
+    # weight rows: h_i/h_j terms become two [N, C] matmuls (+ one gather) and
+    # the [N, K, 2C+1+E] concat never materializes — exact same linear map,
+    # ~4x less HBM traffic on the layer's dominant tensor.
+    c_in = h.shape[1]
+    w0 = p["edge_mlp"]["l0"]["w"]
+    w_hi, w_hj = w0[:c_in], w0[c_in : 2 * c_in]
+    w_r = w0[2 * c_in]  # radial row
+    w_e = w0[2 * c_in + 1 :]
+    a_i = nn.linear({"w": w_hi}, h, dtype)  # [N, C]
+    b_j = nn.linear({"w": w_hj}, h, dtype)  # [N, C]
+
+    new_coord = coord
+    pre = (
+        a_i[:, None, :]
+        + b_j[idx]
+        + radial * w_r
+        + nn.linear({"w": w_e}, edge_attr, dtype)
+        + p["edge_mlp"]["l0"]["b"]
+    )
+    m = jax.nn.silu(pre)
+    m = jax.nn.silu(nn.linear(p["edge_mlp"]["l1"], m, dtype))
+    att = jax.nn.sigmoid(nn.linear(p["att_mlp"]["l0"], m, dtype))
     m = m * att
     m = m * edge_mask[..., None]
 
     # coord model: mean-aggregated weighted displacements, ligand-gated,
     # weights clamped to +-2 (egnn.py:118-137)
-    new_coord = coord
     if update_coords:
-        w = jax.nn.silu(nn.linear(p["coord_mlp"]["l0"], m))
+        w = jax.nn.silu(nn.linear(p["coord_mlp"]["l0"], m, dtype))
         w = nn.linear(p["coord_mlp"]["l1"], w)
         w = jnp.clip(w, -coord_clamp, coord_clamp)
         trans = coord_diff * w * edge_mask[..., None]
@@ -93,13 +110,13 @@ def egcl_apply(
         agg = trans.sum(1) / count
         new_coord = coord + agg * lig_mask[:, None]
 
-    # node model: sum-aggregate messages, GraphNorm, residual (egnn.py:106-116)
+    # node model: sum-aggregate messages (egnn.py:106-116)
     agg_m = m.sum(1)
     node_in = jnp.concatenate([h, agg_m], axis=-1)
-    out = nn.linear(p["node_mlp"]["l0"], node_in)
+    out = nn.linear(p["node_mlp"]["l0"], node_in, dtype)
     out = nn.graph_norm(p["node_mlp"]["gn"], out, node_mask)
     out = jax.nn.silu(out)
-    out = nn.linear(p["node_mlp"]["l1"], out)
+    out = nn.linear(p["node_mlp"]["l1"], out, dtype)
     h_new = h + out
 
     return h_new, new_coord
@@ -116,7 +133,8 @@ def egnn_init(key, node_dim, edge_dim, depth):
 
 
 def egnn_apply(
-    layers, h, coord, idx, edge_mask, edge_attr, node_mask, lig_mask, *, normalize
+    layers, h, coord, idx, edge_mask, edge_attr, node_mask, lig_mask, *,
+    normalize, dtype=None, use_pallas=False
 ):
     for i, p in enumerate(layers):
         h, coord = egcl_apply(
@@ -130,5 +148,63 @@ def egnn_apply(
             lig_mask,
             normalize=normalize,
             update_coords="coord_mlp" in p,
+            dtype=dtype,
         )
+    return h, coord
+
+
+def egnn_apply_fused(
+    layers, spatial_w, positional_w, h, coord, idx, edge_mask, bins, rp,
+    node_mask, lig_mask, *, normalize, dtype=None
+):
+    """EGNN stack over the fused Pallas edge pipeline (ops/fused_egcl.py).
+
+    Neighbour gathers run as one-hot MXU matmuls and the whole message chain
+    stays in VMEM; edge features arrive as integer bins with pre-fused
+    embed-tables (one-hot @ W_embed @ W_e == one-hot @ T).  Inference only.
+    """
+    from dfmdock_tpu.ops.fused_egcl import fused_edge_layer
+
+    c = h.shape[1]
+    for p in layers:
+        w0 = p["edge_mlp"]["l0"]["w"]
+        w_hi, w_hj = w0[:c], w0[c : 2 * c]
+        w_r = w0[2 * c]
+        w_e = w0[2 * c + 1 :]
+        a_k = nn.linear({"w": w_hi}, h, dtype) + p["edge_mlp"]["l0"]["b"]
+        B = nn.linear({"w": w_hj}, h, dtype)
+        t_sp = spatial_w @ w_e  # [100, C]
+        t_p = positional_w @ w_e  # [66, C]
+
+        update_coords = "coord_mlp" in p
+        coord_params = (
+            (
+                p["coord_mlp"]["l0"]["w"],
+                p["coord_mlp"]["l0"]["b"],
+                p["coord_mlp"]["l1"]["w"][:, 0],
+            )
+            if update_coords
+            else None
+        )
+        out = fused_edge_layer(
+            a_k, idx, edge_mask, bins, rp, B, coord, t_sp, t_p,
+            w_r, p["edge_mlp"]["l1"]["w"], p["edge_mlp"]["l1"]["b"],
+            p["att_mlp"]["l0"]["w"][:, 0], p["att_mlp"]["l0"]["b"],
+            normalize=normalize, coord_params=coord_params,
+        )
+        if update_coords:
+            agg_m, trans_sum = out
+            count = jnp.maximum(edge_mask.sum(-1, keepdims=True), 1.0)
+            new_coord = coord + (trans_sum / count) * lig_mask[:, None]
+        else:
+            agg_m = out
+            new_coord = coord
+
+        node_in = jnp.concatenate([h, agg_m], axis=-1)
+        o = nn.linear(p["node_mlp"]["l0"], node_in, dtype)
+        o = nn.graph_norm(p["node_mlp"]["gn"], o, node_mask)
+        o = jax.nn.silu(o)
+        o = nn.linear(p["node_mlp"]["l1"], o, dtype)
+        h = h + o
+        coord = new_coord
     return h, coord

@@ -62,6 +62,7 @@ def _pair_head(p, pre, d):
 class EGNNNet:
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
+        self.dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
 
     def init(self, key: jax.Array):
         c = self.cfg
@@ -193,7 +194,7 @@ class EGNNNet:
         ca = pos[:, 1, :]
         dist = pairwise_ca_dist(pos)
 
-        h = nn.linear(params["single_embed"], x)
+        h = nn.linear(params["single_embed"], x, self.dtype)
 
         idx, edge_mask = select_edges(
             k_edges, jax.lax.stop_gradient(dist), node_mask,
@@ -207,7 +208,7 @@ class EGNNNet:
         for p in params["egnn"]:
             h, _ = egcl_apply(
                 p, h, ca, idx, edge_mask, edge_attr, node_mask, lig_valid,
-                normalize=c.normalize, update_coords=False,
+                normalize=c.normalize, update_coords=False, dtype=self.dtype,
             )
 
         pair_valid = rec_valid[:, None] * lig_valid[None, :]

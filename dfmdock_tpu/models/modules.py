@@ -21,8 +21,16 @@ def linear_init(key, in_dim, out_dim, bias=True, std=0.02):
     return p
 
 
-def linear(p, x):
-    y = x @ p["w"]
+def linear(p, x, dtype=None):
+    """x @ w (+ b). With `dtype` (e.g. bfloat16), inputs are cast for the MXU
+    and the product accumulates in float32 (preferred_element_type)."""
+    if dtype is None:
+        y = x @ p["w"]
+    else:
+        y = jnp.dot(
+            x.astype(dtype), p["w"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
     if "b" in p:
         y = y + p["b"]
     return y

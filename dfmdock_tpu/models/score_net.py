@@ -37,7 +37,7 @@ from dfmdock_tpu.features.sixd import (
 )
 from dfmdock_tpu.models import modules as nn
 from dfmdock_tpu.models.edges import select_edges
-from dfmdock_tpu.models.egnn import egnn_apply, egnn_init
+from dfmdock_tpu.models.egnn import egnn_apply, egnn_apply_fused, egnn_init
 
 ENERGY_ROW_CHUNK = 64  # padded N must be a multiple of this
 
@@ -48,6 +48,7 @@ class ScoreNet:
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
+        self.dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
 
     # ------------------------------------------------------------------ init
 
@@ -126,9 +127,12 @@ class ScoreNet:
 
         k_edges, k_drop = jax.random.split(key)
 
+        use_pallas = self.cfg.use_pallas and predict and not train
+
         def core(pos_in):
             return self._core(
-                params, batch, x, pos_in, node_mask, lig_mask, t, k_edges, k_drop, train
+                params, batch, x, pos_in, node_mask, lig_mask, t, k_edges, k_drop,
+                train, use_pallas
             )
 
         if return_energy:
@@ -181,7 +185,8 @@ class ScoreNet:
 
     # ------------------------------------------------------------- internals
 
-    def _core(self, params, batch, x, pos, node_mask, lig_mask, t, k_edges, k_drop, train):
+    def _core(self, params, batch, x, pos, node_mask, lig_mask, t, k_edges, k_drop,
+              train, use_pallas=False):
         """Everything the energy depends on; differentiable w.r.t. `pos`."""
         c = self.cfg
         valid = node_mask.astype(jnp.float32)
@@ -192,7 +197,7 @@ class ScoreNet:
         dist = pairwise_ca_dist(pos)
 
         # node embedding
-        h = nn.linear(params["single_embed"], x)
+        h = nn.linear(params["single_embed"], x, self.dtype)
 
         # stochastic sparse graph + edge features (gathered bins -> lookups)
         idx, edge_mask = select_edges(
@@ -202,23 +207,45 @@ class ScoreNet:
             knn=c.knn,
             sample_size=c.sample_size,
         )
-        db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
-        e_spatial = spatial_embed_from_bins(params["spatial_embed"]["w"], db, ob, tb, pb)
-        rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
-        edge_attr = e_spatial + params["positional_embed"]["w"][rp]
+        if use_pallas:
+            from dfmdock_tpu.features.sixd import virtual_cb
+            from dfmdock_tpu.ops.edge_bins import edge_bins
+
+            sg_pos = jax.lax.stop_gradient(pos)
+            db, ob, tb, pb, rp = edge_bins(
+                idx, sg_pos, virtual_cb(sg_pos), batch["res_id"], batch["asym_id"]
+            )
+        else:
+            db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
+            rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
 
         # EGNN backbone (coord update in the last layer only, ligand-gated)
-        h, coord_out = egnn_apply(
-            params["egnn"],
-            h,
-            ca,
-            idx,
-            edge_mask,
-            edge_attr,
-            node_mask,
-            lig_valid,
-            normalize=c.normalize,
-        )
+        if use_pallas:
+            h, coord_out = egnn_apply_fused(
+                params["egnn"],
+                params["spatial_embed"]["w"],
+                params["positional_embed"]["w"],
+                h, ca, idx, edge_mask, (db, ob, tb, pb), rp,
+                node_mask, lig_valid,
+                normalize=c.normalize, dtype=self.dtype,
+            )
+        else:
+            e_spatial = spatial_embed_from_bins(
+                params["spatial_embed"]["w"], db, ob, tb, pb
+            )
+            edge_attr = e_spatial + params["positional_embed"]["w"][rp]
+            h, coord_out = egnn_apply(
+                params["egnn"],
+                h,
+                ca,
+                idx,
+                edge_mask,
+                edge_attr,
+                node_mask,
+                lig_valid,
+                normalize=c.normalize,
+                dtype=self.dtype,
+            )
 
         # pair mask: receptor x ligand within cutoff (score_net_mlsb.py:389)
         pair_valid = rec_valid[:, None] * lig_valid[None, :]
@@ -233,8 +260,8 @@ class ScoreNet:
         n = h.shape[0]
         c = self.cfg.node_dim
         w = p["l0"]["w"]  # [2C, C] split into the h_i / h_j halves
-        hr = h @ w[:c]
-        hl = h @ w[c:]
+        hr = nn.linear({"w": w[:c]}, h, self.dtype)
+        hl = nn.linear({"w": w[c:]}, h, self.dtype)
 
         chunk = min(ENERGY_ROW_CHUNK, n)
         assert n % chunk == 0, f"padded N={n} must be a multiple of {chunk}"
@@ -247,7 +274,7 @@ class ScoreNet:
             pair = hr_c[:, None, :] + hl[None, :, :]  # [chunk, N, C]
             e = nn.layer_norm(p["ln"], pair)
             e = jax.nn.silu(e)
-            e = (e @ p["l1"]["w"]).squeeze(-1)  # [chunk, N]
+            e = nn.linear(p["l1"], e, self.dtype).squeeze(-1)  # [chunk, N]
             return (acc_num + (e * m_c).sum(), acc_den + m_c.sum()), None
 
         (num, den), _ = jax.lax.scan(
