@@ -78,6 +78,7 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--grad-energy", action="store_true")
+    ap.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--metrics-json", default=None, help="append per-log-step JSONL here")
@@ -90,8 +91,18 @@ def main(argv=None):
     loss = mlsb_loss_fn if args.lineage == "mlsb" else dfmdock_loss_fn
 
     params = net.init(jax.random.PRNGKey(args.seed))
+    if args.resume:
+        params = Trainer.load(args.resume, params)
+        print(f"resumed params from {args.resume}")
     r3 = R3Diffuser(cfg.diffuser.r3)
     so3 = SO3Diffuser(cfg.diffuser.so3)
+
+    if args.ckpt_dir:
+        from dfmdock_tpu.config import to_yaml
+        import os as _os
+
+        _os.makedirs(args.ckpt_dir, exist_ok=True)
+        to_yaml(cfg, f"{args.ckpt_dir}/config.yaml")
 
     ds = NPZDataset(args.data_dir)
     rng = np.random.RandomState(args.seed)

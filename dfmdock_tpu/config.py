@@ -34,6 +34,10 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Fused Pallas EGCL message kernel on the inference (predict) path.
     use_pallas: bool = False
+    # mlsb Score_Net centers on the ligand-CA centroid inside the net
+    # (score_net_mlsb.py:353-355); the older score_net.py twin does not
+    # (its wrapper centers instead, score_model.py:61-78).
+    center_in_net: bool = True
 
     @property
     def edges_per_node(self) -> int:
@@ -115,3 +119,37 @@ class DFMDockConfig:
     diffuser: DiffuserConfig = dataclasses.field(default_factory=DiffuserConfig)
     experiment: ExperimentConfig = dataclasses.field(default_factory=ExperimentConfig)
     sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
+
+
+def _build(cls, d: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue  # tolerate extra keys (e.g. Hydra _target_)
+        t = fields[k].type
+        sub = {
+            "model": ModelConfig, "r3": R3Config, "so3": SO3Config,
+            "diffuser": DiffuserConfig, "experiment": ExperimentConfig,
+            "sampler": SamplerConfig,
+        }.get(k)
+        kwargs[k] = _build(sub, v) if (sub and isinstance(v, dict)) else v
+    return cls(**kwargs)
+
+
+def from_yaml(path: str) -> DFMDockConfig:
+    """Load a config YAML (accepts this package's layout and the reference's
+    Hydra model YAMLs with model/diffuser/experiment blocks)."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    raw.pop("_target_", None)
+    return _build(DFMDockConfig, raw)
+
+
+def to_yaml(cfg, path: str):
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

@@ -121,9 +121,11 @@ class ScoreNet:
 
         # center on the ligand-CA centroid (score_net_mlsb.py:353-355); the
         # center is detached from the dedx graph (requires_grad set after
-        # centering in the reference)
-        center = (pos[:, 1, :] * lig_valid[:, None]).sum(0) / n_lig
-        pos = pos - jax.lax.stop_gradient(center)
+        # centering in the reference).  The older score_net.py twin skips
+        # this (centering done by its wrapper) — center_in_net=False.
+        if self.cfg.center_in_net:
+            center = (pos[:, 1, :] * lig_valid[:, None]).sum(0) / n_lig
+            pos = pos - jax.lax.stop_gradient(center)
 
         k_edges, k_drop = jax.random.split(key)
 
