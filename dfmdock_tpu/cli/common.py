@@ -6,6 +6,17 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: dataset sweeps re-use per-bucket executables
+# across processes (first-compile on the TPU tunnel is expensive)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 import numpy as np
 
 from dfmdock_tpu.config import DFMDockConfig, SamplerConfig
@@ -16,13 +27,19 @@ from dfmdock_tpu.models import ScoreNet
 from dfmdock_tpu.sampler import EMSampler
 
 
-def load_model(ckpt: str | None, cfg: DFMDockConfig, seed: int = 0):
-    """Build the flagship ScoreNet and load params.
+def load_model(ckpt: str | None, cfg: DFMDockConfig, seed: int = 0,
+               lineage: str = "mlsb"):
+    """Build a score model (mlsb ScoreNet or DFMDock wrapper) and load params.
 
     ckpt: None -> random init; *.ckpt -> torch Lightning conversion;
     directory -> orbax restore.
     """
-    net = ScoreNet(cfg.model)
+    if lineage == "mlsb":
+        net = ScoreNet(cfg.model)
+    else:
+        from dfmdock_tpu.models.dfmdock import DFMDockModel
+
+        net = DFMDockModel(cfg.model)
     params = net.init(jax.random.PRNGKey(seed))
     if ckpt is None:
         return net, params
@@ -32,7 +49,7 @@ def load_model(ckpt: str | None, cfg: DFMDockConfig, seed: int = 0):
         return net, Trainer.load(ckpt, params)
     from dfmdock_tpu.utils.torch_convert import load_lightning_checkpoint
 
-    converted, _ = load_lightning_checkpoint(ckpt, lineage="mlsb")
+    converted, _ = load_lightning_checkpoint(ckpt, lineage=lineage)
     return net, jax.tree_util.tree_map(jnp.asarray, converted)
 
 
@@ -49,10 +66,11 @@ def dock_complex(
     key,
     num_samples: int,
     native: tuple | None = None,
+    pad_to: int | None = None,
 ):
     """Sample num_samples poses for one complex; return per-sample records
     and the raw results (positions padded)."""
-    batch_np = complex_to_batch(raw)
+    batch_np = complex_to_batch(raw, pad_to=pad_to)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     results = sampler.sample_jit(params, batch, key, num_samples)
 

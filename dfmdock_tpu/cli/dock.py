@@ -94,9 +94,17 @@ def main(argv=None):
                     help="skip ESM (model must be trained without it)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--write-all-poses", action="store_true")
+    ap.add_argument("--exact", action="store_true",
+                    help="f32 XLA path (default: bf16 + fused Pallas kernels)")
     args = ap.parse_args(argv)
 
+    from dfmdock_tpu.config import ModelConfig
+
     cfg = DFMDockConfig(
+        model=ModelConfig(
+            use_pallas=not args.exact,
+            compute_dtype="float32" if args.exact else "bfloat16",
+        ),
         sampler=SamplerConfig(
             num_steps=args.num_steps,
             tr_noise_scale=args.tr_noise_scale,

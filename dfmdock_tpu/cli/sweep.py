@@ -42,10 +42,21 @@ def main(argv=None):
                     help="evaluate the ground-truth pose energy only")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--bucket", type=int, default=128,
+                    help="pad N up to multiples of this (fewer recompiles)")
+    ap.add_argument("--lineage", choices=["mlsb", "dfmdock"], default="mlsb")
+    ap.add_argument("--exact", action="store_true",
+                    help="f32 XLA path (default: bf16 + fused Pallas kernels)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    from dfmdock_tpu.config import ModelConfig
+
     cfg = DFMDockConfig(
+        model=ModelConfig(
+            use_pallas=not args.exact and args.lineage == "mlsb",
+            compute_dtype="float32" if args.exact else "bfloat16",
+        ),
         sampler=SamplerConfig(
             num_steps=args.num_steps,
             tr_noise_scale=args.tr_noise_scale,
@@ -54,7 +65,7 @@ def main(argv=None):
             ode=args.ode,
         )
     )
-    net, params = load_model(args.ckpt, cfg)
+    net, params = load_model(args.ckpt, cfg, lineage=args.lineage)
     sampler = build_sampler(net, cfg)
     ds = NPZDataset(args.data_dir)
     ids = ds.ids[: args.limit] if args.limit else ds.ids
@@ -85,8 +96,12 @@ def main(argv=None):
             rec["num_clashes"] = int(out["num_clashes"])
             rows.append(rec)
         else:
+            from dfmdock_tpu.data.batching import round_up
+
+            n = raw["rec_x"].shape[0] + raw["lig_x"].shape[0]
             recs, results, (R, L) = dock_complex(
-                sampler, params, raw, sub, args.num_samples, native=native
+                sampler, params, raw, sub, args.num_samples, native=native,
+                pad_to=round_up(n, args.bucket),
             )
             rows.extend(recs)
             pos = np.asarray(results["pos"])

@@ -13,6 +13,8 @@ from dfmdock_tpu.models.score_net import ENERGY_ROW_CHUNK
 
 
 def round_up(n: int, multiple: int = ENERGY_ROW_CHUNK) -> int:
+    """Round n up to a multiple (bucketing: larger multiples trade padding
+    waste for fewer XLA compilations across a dataset sweep)."""
     return ((n + multiple - 1) // multiple) * multiple
 
 
