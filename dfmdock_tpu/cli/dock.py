@@ -57,9 +57,9 @@ def _complex_from_pdbs(cid, rec_pdb, lig_pdb, args):
         rec_x = np.zeros((len(rec.seq), 1280), np.float32)
         lig_x = np.zeros((len(lig.seq), 1280), np.float32)
     else:
-        from dfmdock_tpu.data.esm import ESMProvider
+        from dfmdock_tpu.data.esm import get_provider
 
-        esm = ESMProvider()
+        esm = get_provider(args.esm_backend)
         rec_x = esm.embed(rec.seq)
         lig_x = esm.embed(lig.seq)
     return {
@@ -92,6 +92,8 @@ def main(argv=None):
     ap.add_argument("--ode", action="store_true")
     ap.add_argument("--one-hot-only", action="store_true",
                     help="skip ESM (model must be trained without it)")
+    ap.add_argument("--esm-backend", choices=["auto", "jax", "hf"], default="auto",
+                    help="'jax' = pure-JAX ESM2 on TPU; 'hf' = torch CPU")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--write-all-poses", action="store_true")
     ap.add_argument("--exact", action="store_true",

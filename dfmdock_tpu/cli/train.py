@@ -79,6 +79,8 @@ def main(argv=None):
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--grad-energy", action="store_true")
     ap.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint every N epochs (0 = only 'last' at the end)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--metrics-json", default=None, help="append per-log-step JSONL here")
@@ -143,7 +145,7 @@ def main(argv=None):
                 if log_f:
                     log_f.write(json.dumps(m) + "\n")
                     log_f.flush()
-        if args.ckpt_dir:
+        if args.ckpt_dir and args.save_every and (epoch + 1) % args.save_every == 0:
             Trainer(net, r3, so3, cfg.experiment).save(
                 params, f"{args.ckpt_dir}/epoch{epoch}"
             )

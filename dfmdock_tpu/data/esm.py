@@ -66,6 +66,40 @@ class ESMProvider:
         return rep
 
 
+class JaxESMProvider:
+    """Pure-JAX ESM2 (models/esm2.py) — embedding runs jitted on TPU.
+
+    Weights still come from the locally cached HF checkpoint (converted once
+    at construction)."""
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dfmdock_tpu.models.esm2 import ESM2_650M, load_hf_esm2
+
+        self.cfg = ESM2_650M
+        self.params = jax.tree_util.tree_map(jnp.asarray, load_hf_esm2())
+
+    def embed(self, seq: str) -> np.ndarray:
+        from dfmdock_tpu.models.esm2 import embed_sequence
+
+        return np.asarray(embed_sequence(self.params, seq, self.cfg))
+
+
+def get_provider(backend: str = "auto"):
+    """'hf' -> torch CPU; 'jax' -> pure-JAX on the default device; 'auto'
+    prefers jax and falls back to hf."""
+    if backend == "hf":
+        return ESMProvider()
+    if backend == "jax":
+        return JaxESMProvider()
+    try:
+        return JaxESMProvider()
+    except Exception:
+        return ESMProvider()
+
+
 def embeddings_available() -> bool:
     try:
         ESMProvider()._load()

@@ -55,7 +55,6 @@ def egcl_apply(
     update_coords: bool,
     coord_clamp: float = 2.0,
     dtype=None,
-    use_pallas: bool = False,
 ):
     """One E_GCL forward (reference egnn.py:150-159).
 
@@ -134,7 +133,7 @@ def egnn_init(key, node_dim, edge_dim, depth):
 
 def egnn_apply(
     layers, h, coord, idx, edge_mask, edge_attr, node_mask, lig_mask, *,
-    normalize, dtype=None, use_pallas=False
+    normalize, dtype=None
 ):
     for i, p in enumerate(layers):
         h, coord = egcl_apply(
