@@ -209,17 +209,12 @@ class ScoreNet:
             knn=c.knn,
             sample_size=c.sample_size,
         )
-        if use_pallas:
-            from dfmdock_tpu.features.sixd import virtual_cb
-            from dfmdock_tpu.ops.edge_bins import edge_bins
-
-            sg_pos = jax.lax.stop_gradient(pos)
-            db, ob, tb, pb, rp = edge_bins(
-                idx, sg_pos, virtual_cb(sg_pos), batch["res_id"], batch["asym_id"]
-            )
-        else:
-            db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
-            rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
+        # NOTE: ops/edge_bins.py holds a gather-free Pallas variant of this
+        # featurization; it compiles in interpret mode but trips Mosaic
+        # ("offset mismatch on non-concat dimension", likely the in-kernel
+        # cross products) and was net-neutral when it ran — parked for now.
+        db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
+        rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
 
         # EGNN backbone (coord update in the last layer only, ligand-gated)
         if use_pallas:

@@ -2,13 +2,15 @@
 
 Computes, for the selected neighbour set idx [N, K], the trRosetta 6D bins
 (dist/omega/theta/phi — semantics of features.sixd) and the AF2 relpos class
-(features.positional) in one pass.  j-side quantities (CA_j, CB_j, res_id_j,
-asym_id_j) come from one-hot MXU matmuls against the full [N, *] arrays in
-VMEM instead of XLA dynamic gathers (~3 ms each on v5e).
+(features.positional) in one pass.  Fully 2D over flattened edges (Mosaic
+rejects [BN, K, X] reshapes): j-side quantities come from one one-hot MXU
+matmul against a packed [N, 8] source ([CA | CB | res_id | asym_id]), i-side
+rows from a second one-hot against the block rows.  atan2/arccos are not
+lowered by Mosaic and are built from a minimax arctan polynomial (max err
+~2e-7 rad, far below bin width).
 """
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
@@ -25,7 +27,7 @@ from dfmdock_tpu.features.sixd import (
     SPATIAL_MASK_CUTOFF,
 )
 
-BLOCK_N = 16  # the [BN, K, N] one-hot + trig temps must fit scoped VMEM
+BLOCK_N = 32
 _DEG = 180.0 / math.pi
 
 
@@ -34,15 +36,16 @@ def _interpret():
 
 
 def _bins(x, lo, hi, nb):
-    # linspace(lo, hi, nb-1) built from an integer iota (Mosaic has no f32 iota)
+    """x [E] -> int bins via comparisons against linspace(lo, hi, nb-1)
+    (boundaries built from an integer iota — Mosaic has no f32 iota)."""
     m = nb - 1
-    i = jax.lax.broadcasted_iota(jnp.int32, x.shape + (m,), len(x.shape))
+    i = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], m), 1)
     bounds = lo + i.astype(jnp.float32) * ((hi - lo) / (m - 1))
-    return (x[..., None] > bounds).sum(-1).astype(jnp.int32)
+    return (x[:, None] > bounds).sum(-1, keepdims=True).astype(jnp.int32)
 
 
 def _atan_poly(z):
-    """Minimax atan(z) on |z| <= 1 (max err ~2e-7 rad — far below bin width)."""
+    """Minimax atan(z) on |z| <= 1 (max err ~2e-7 rad)."""
     z2 = z * z
     p = -0.0040540580
     for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
@@ -52,7 +55,6 @@ def _atan_poly(z):
 
 
 def _atan2(y, x):
-    """atan2 built from supported Mosaic ops (atan2/arccos are not lowered)."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     swap = ay > ax
@@ -69,29 +71,37 @@ def _acos(z):
     return _atan2(jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0)), z)
 
 
-def _kernel(idx_ref, cai_ref, cbi_ref, ni_ref, rid_i_ref, aid_i_ref,
+def _kernel(idx_ref, cai_ref, cbi_ref, ni_ref, ridi_ref, aidi_ref, rowi_ref,
             ca_ref, cb_ref, rid_ref, aid_ref,
-            db_ref, ob_ref, tb_ref, pb_ref, rp_ref):
+            db_ref, ob_ref, tb_ref, pb_ref, rp_ref, *, k: int):
     n = ca_ref.shape[0]
-    idx = idx_ref[:]
-    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n,), 2)
-    oh = (idx[..., None] == iota).astype(jnp.float32)  # [BN, K, N]
+    bn = cai_ref.shape[0]
+    idx = idx_ref[:][:, 0]  # [E]
+    e = idx.shape[0]
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+    oh_j = (idx[:, None] == iota_n).astype(jnp.float32)
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 0)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 1)
+    oh_i = ((e_ids // k) == r_ids).astype(jnp.float32)
 
     dot = lambda a, b: jax.lax.dot_general(
-        a, b, dimension_numbers=(((2,), (0,)), ((), ())),
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ca_j = dot(oh, ca_ref[:])  # [BN, K, 3]
-    cb_j = dot(oh, cb_ref[:])
-    rid_j = dot(oh, rid_ref[:])[..., 0]  # res ids exact in f32 (< 2^23)
-    aid_j = dot(oh, aid_ref[:])[..., 0]
-
-    ca_i = cai_ref[:][:, None, :]
-    cb_i = cbi_ref[:][:, None, :]
-    n_i = ni_ref[:][:, None, :]
+    ca_j = dot(oh_j, ca_ref[:])
+    cb_j = dot(oh_j, cb_ref[:])
+    rid_j = dot(oh_j, rid_ref[:])[:, 0]
+    aid_j = dot(oh_j, aid_ref[:])[:, 0]
+    ca_i = dot(oh_i, cai_ref[:])
+    cb_i = dot(oh_i, cbi_ref[:])
+    n_i = dot(oh_i, ni_ref[:])
+    rid_i = dot(oh_i, ridi_ref[:])[:, 0]
+    aid_i = dot(oh_i, aidi_ref[:])[:, 0]
+    row_i = dot(oh_i, rowi_ref[:])[:, 0]
 
     diff = ca_i - ca_j
-    dist = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 1e-12))
+    dist = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 1e-12))  # [E]
 
     def dihedral(a, b, c, d):
         b1, b2, b3 = a - b, b - c, c - d
@@ -116,22 +126,18 @@ def _kernel(idx_ref, cai_ref, cbi_ref, ni_ref, rid_i_ref, aid_i_ref,
     tb = _bins(theta, -180.0, 180.0, NUM_THETA_BINS)
     pb = _bins(phi, 0.0, 180.0, NUM_PHI_BINS)
 
-    # zero-mask angle bins where dist >= 22 A or i == j (sixd semantics);
-    # i == j detected via res-id match on the same chain is insufficient —
-    # compare the edge index against the row id directly
-    row0 = pl.program_id(0) * idx.shape[0]
-    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
-    keep = (dist < SPATIAL_MASK_CUTOFF) & (idx != row_ids)
+    # zero-mask angle bins where dist >= 22 A or i == j (sixd semantics)
+    keep = ((dist < SPATIAL_MASK_CUTOFF) & (idx != row_i.astype(jnp.int32)))[:, None]
     zero = jnp.zeros_like(ob)
     ob = jnp.where(keep, ob, zero)
     tb = jnp.where(keep, tb, zero)
     pb = jnp.where(keep, pb, zero)
 
     # relpos class (positional.relpos_bin_at semantics)
-    offset = rid_i_ref[:][:, 0][:, None] - rid_j
+    offset = rid_i - rid_j
     clipped = jnp.clip(offset + MAX_RELATIVE_IDX, 0, 2 * MAX_RELATIVE_IDX)
-    same = jnp.abs(aid_i_ref[:][:, 0][:, None] - aid_j) < 0.5
-    rp = jnp.where(same, clipped, 2 * MAX_RELATIVE_IDX + 1).astype(jnp.int32)
+    same = jnp.abs(aid_i - aid_j) < 0.5
+    rp = jnp.where(same, clipped, 2 * MAX_RELATIVE_IDX + 1)[:, None].astype(jnp.int32)
 
     db_ref[:] = db
     ob_ref[:] = ob
@@ -143,38 +149,39 @@ def _kernel(idx_ref, cai_ref, cbi_ref, ni_ref, rid_i_ref, aid_i_ref,
 def edge_bins(idx, pos, cb, res_id, asym_id):
     """idx [N,K] int32, pos [N,3,3], cb [N,3] virtual C-beta,
     res_id/asym_id [N] int -> (db, ob, tb, pb, rp) each [N,K] int32."""
+    import functools
+
     n, k = idx.shape
     ca = pos[:, 1, :]
     n_at = pos[:, 0, :]
     rid = res_id.astype(jnp.float32)[:, None]
     aid = asym_id.astype(jnp.float32)[:, None]
+    rows = jnp.arange(n, dtype=jnp.float32)[:, None]
 
     bn = BLOCK_N
+    bnk = bn * k
+    erow = pl.BlockSpec((bnk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     row = lambda *shape: pl.BlockSpec(
         (bn,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    out_spec = pl.BlockSpec((bn, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n, k), jnp.int32)
+    out_shape = jax.ShapeDtypeStruct((n * k, 1), jnp.int32)
 
-    return pl.pallas_call(
-        _kernel,
+    outs = pl.pallas_call(
+        functools.partial(_kernel, k=k),
         grid=(n // bn,),
         in_specs=[
-            row(k),        # idx
-            row(3),        # ca_i
-            row(3),        # cb_i
-            row(3),        # n_i
-            row(1),        # res_id_i
-            row(1),        # asym_id_i
-            full(n, 3),    # ca
-            full(n, 3),    # cb
-            full(n, 1),    # res_id
-            full(n, 1),    # asym_id
+            erow,                       # idx
+            row(3), row(3), row(3),     # ca_i, cb_i, n_i
+            row(1), row(1), row(1),     # rid_i, aid_i, row_i
+            full(n, 3), full(n, 3),     # ca, cb
+            full(n, 1), full(n, 1),     # rid, aid
         ],
-        out_specs=(out_spec,) * 5,
+        out_specs=(erow,) * 5,
         out_shape=(out_shape,) * 5,
         interpret=_interpret(),
-    )(idx.astype(jnp.int32), ca, cb, n_at, rid, aid, ca, cb, rid, aid)
+    )(idx.reshape(-1, 1).astype(jnp.int32), ca, cb, n_at, rid, aid, rows,
+      ca, cb, rid, aid)
+    return tuple(o.reshape(n, k) for o in outs)

@@ -1,31 +1,29 @@
 """Pallas TPU kernel: fused E_GCL edge pipeline (gather + messages + agg).
 
-Two XLA-level costs motivate this kernel (measured on v5e, N=448, P=16):
-1. dynamic-index gathers h[idx] cost ~3.2 ms each (vs ~0.1 ms of pure HBM
-   traffic) — XLA lowers runtime-index gathers poorly on TPU;
-2. the [N, K, C] message chain (pre / silu / linear / attention / mask / sum)
-   materializes ~8 intermediate tensors in HBM.
+Motivation (measured on v5e, N=448, P=16): XLA's dynamic-index gathers cost
+~3.2 ms each and the [N, K, C] message chain round-trips HBM ~8 times per
+layer.  Design constraints discovered on Mosaic: 3D batched dot_general
+lowers as BN tiny matmuls (~100x off peak) and [BN, K, X] <-> [BN*K, X]
+in-kernel reshapes are unsupported ("infer-vector-layout: unsupported shape
+cast").  The kernel therefore works entirely in 2D over flattened edges
+(e = i*K + k), with TWO one-hot MXU matmuls replacing gathers, broadcasts
+and segment sums:
 
-Here the neighbour "gather" is a one-hot (idx == iota) bfloat16 matmul on the
-MXU against the full [N, C] source resident in VMEM, and the entire message
-chain stays in VMEM per row-block:
+  oh_j[e, n] = (idx[e] == n)     gather:      x_j     = oh_j @ X       (MXU)
+  oh_i[e, r] = (e // K == r)     broadcast:   a_e     = oh_i @ a_block (MXU)
+                                 segment sum: agg     = oh_i^T @ gated (MXU)
 
-  oh    = (idx[b, k] == iota_N)                      [BN, K, N]   (bf16)
-  b_j   = oh @ B           (B = h @ W_hj, outside)   [BN, K, C]
-  ca_j  = oh @ ca                                    [BN, K, 3]
-  rad   = |ca_i - ca_j|^2 ; cd = (ca_i - ca_j)/(sqrt(rad+1e-8)+1) if normalize
-  e     = oh_sp @ T_sp + oh_rp @ T_p   (T = embed-table @ W_e, outside)
-  pre   = a_i[:, None] + b_j + rad * w_r + e         (l0 bias folded in a_i)
-  m2    = silu(silu(pre) @ W_l1 + b_l1)
-  att   = sigmoid(m2 . w_att + b_att)
-  agg   = sum_k m2 * att * mask                      -> [N, C]
-  (last layer) w = clamp(silu(m2*att @ Wc0 + bc0) . wc1, +-2)
-  trans = sum_k cd * w * mask                        -> [N, 3]
+  pre  = a_e + b_j + radial * w_r + oh_sp @ T_sp + oh_rp @ T_p
+  m2   = silu(silu(pre) @ W_l1 + b_l1);  att = sigmoid(m2 . w_att + b_att)
+  agg  = sum_k m2 * att * mask     (+ coord branch on the last layer)
 
-Inference-only (predict path); training uses the differentiable XLA
-formulation in models/egnn.py.
+Edge features arrive as integer bins with pre-fused embed tables
+(one-hot @ W_embed @ W_e == one-hot @ T).  Inference-only (predict path);
+training uses the differentiable XLA formulation in models/egnn.py.
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,131 +32,173 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dfmdock_tpu.features.sixd import OMEGA_OFFSET, PHI_OFFSET, THETA_OFFSET
 
-BLOCK_N = 32
+BLOCK_N = 16  # E = BLOCK_N*K edges per block; f32 [E, C] temps bound VMEM
 
 
 def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _onehot(idx, n, dtype=jnp.bfloat16):
-    """[BN, K] int32 -> [BN, K, n] one-hot."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n,), len(idx.shape))
-    return (idx[..., None] == iota).astype(dtype)
-
-
-def _spatial_onehot(db, ob, tb, pb, dtype=jnp.bfloat16):
-    """Four disjoint bin families -> one [BN, K, 100] multi-hot."""
-    shape = db.shape + (100,)
-    iota = jax.lax.broadcasted_iota(jnp.int32, shape, len(db.shape))
-    oh = (
-        (db[..., None] == iota)
-        | (OMEGA_OFFSET + ob[..., None] == iota)
-        | (THETA_OFFSET + tb[..., None] == iota)
-        | (PHI_OFFSET + pb[..., None] == iota)
-    )
-    return oh.astype(dtype)
-
-
-def _bdot(a, b):
-    """[BN, K, X] @ [X, Y] -> [BN, K, Y] (f32 accumulation)."""
+def _dot2(a, b):
     return jax.lax.dot_general(
-        a, b, dimension_numbers=(((2,), (0,)), ((), ())),
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _message_chain(
-    a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref, pb_ref, rp_ref,
-    B_ref, ca_ref, tsp_ref, tp_ref,
-    wr_ref, wl1_ref, bl1_ref, watt_ref, batt_ref, normalize: bool,
-):
+def _seg_sum(oh_i, x):
+    """[E, BN]^T @ [E, C] -> [BN, C] (sum over each row's K edges)."""
+    return jax.lax.dot_general(
+        oh_i, x, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _onehots(idx, n, bn, k):
+    e = idx.shape[0]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+    oh_j = (idx[:, None] == iota_n).astype(jnp.bfloat16)
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 0)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 1)
+    oh_i = ((e_ids // k) == r_ids).astype(jnp.bfloat16)
+    return oh_j, oh_i
+
+
+def _spatial_onehot(db, ob, tb, pb):
+    """Four disjoint bin families -> one [E, 100] multi-hot (bf16)."""
+    e = db.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (e, 100), 1)
+    oh = (
+        (db[:, None] == iota)
+        | (OMEGA_OFFSET + ob[:, None] == iota)
+        | (THETA_OFFSET + tb[:, None] == iota)
+        | (PHI_OFFSET + pb[:, None] == iota)
+    )
+    return oh.astype(jnp.bfloat16)
+
+
+def _relpos_onehot(rp, n_cls):
+    e = rp.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (e, n_cls), 1)
+    return (rp[:, None] == iota).astype(jnp.bfloat16)
+
+
+def _message_chain(a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref,
+                   pb_ref, rp_ref, B_ref, ca_ref, tsp_ref, tp_ref,
+                   wr_ref, wl1_ref, bl1_ref, watt_ref, batt_ref,
+                   k: int, normalize: bool):
     n = B_ref.shape[0]
-    oh = _onehot(idx_ref[:], n)  # [BN, K, N] bf16 (exact 0/1)
-    b_j = _bdot(oh, B_ref[:].astype(jnp.bfloat16))  # [BN, K, C]
-    # coordinates keep f32 precision for the radial term
-    ca_j = _bdot(oh.astype(jnp.float32), ca_ref[:])  # [BN, K, 3]
+    bn = a_ref.shape[0]
+    idx = idx_ref[:][:, 0]
+    oh_j, oh_i = _onehots(idx, n, bn, k)
 
-    cdiff = ca_i_ref[:][:, None, :] - ca_j
-    radial = (cdiff * cdiff).sum(-1)  # [BN, K]
+    b_j = _dot2(oh_j, B_ref[:].astype(jnp.bfloat16))  # [E, C]
+    a_e = _dot2(oh_i, a_ref[:].astype(jnp.bfloat16))  # [E, C]
+    # coordinates in f32 (radial precision)
+    ohf_j = oh_j.astype(jnp.float32)
+    ohf_i = oh_i.astype(jnp.float32)
+    ca_j = _dot2(ohf_j, ca_ref[:])  # [E, 3]
+    ca_i = _dot2(ohf_i, ca_i_ref[:])
+
+    cdiff = ca_i - ca_j
+    radial = (cdiff * cdiff).sum(-1, keepdims=True)  # [E, 1]
     if normalize:
-        cdiff = cdiff / (jnp.sqrt(radial + 1e-8) + 1.0)[..., None]
+        cdiff = cdiff / (jnp.sqrt(radial + 1e-8) + 1.0)
 
-    e = _bdot(_spatial_onehot(db_ref[:], ob_ref[:], tb_ref[:], pb_ref[:]),
-              tsp_ref[:].astype(jnp.bfloat16))
-    e = e + _bdot(_onehot(rp_ref[:], tp_ref.shape[0]), tp_ref[:].astype(jnp.bfloat16))
+    e_feat = _dot2(_spatial_onehot(db_ref[:][:, 0], ob_ref[:][:, 0],
+                                   tb_ref[:][:, 0], pb_ref[:][:, 0]),
+                   tsp_ref[:].astype(jnp.bfloat16))
+    e_feat = e_feat + _dot2(_relpos_onehot(rp_ref[:][:, 0], tp_ref.shape[0]),
+                            tp_ref[:].astype(jnp.bfloat16))
 
-    pre = a_ref[:][:, None, :] + b_j + radial[..., None] * wr_ref[:][None, None, :] + e
+    pre = a_e + b_j + radial * wr_ref[:][None, :] + e_feat
     m = jax.nn.silu(pre)
     m2 = jax.nn.silu(
-        _bdot(m.astype(jnp.bfloat16), wl1_ref[:].astype(jnp.bfloat16))
-        + bl1_ref[:][None, None, :]
+        _dot2(m.astype(jnp.bfloat16), wl1_ref[:].astype(jnp.bfloat16))
+        + bl1_ref[:][None, :]
     )
-    att = jax.nn.sigmoid((m2 * watt_ref[:][None, None, :]).sum(-1) + batt_ref[0])
-    return m2, att, cdiff
+    att = jax.nn.sigmoid((m2 * watt_ref[:][None, :]).sum(-1, keepdims=True) + batt_ref[0])
+    gate = att * mask_ref[:]
+    return m2, gate, cdiff, oh_i
 
 
 def _kernel(a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref, pb_ref,
             rp_ref, B_ref, ca_ref, tsp_ref, tp_ref,
             wr_ref, wl1_ref, bl1_ref, watt_ref, batt_ref,
-            agg_ref, *, normalize):
-    m2, att, _ = _message_chain(
+            agg_ref, *, k, normalize):
+    m2, gate, _, oh_i = _message_chain(
         a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref, pb_ref,
         rp_ref, B_ref, ca_ref, tsp_ref, tp_ref, wr_ref, wl1_ref, bl1_ref,
-        watt_ref, batt_ref, normalize,
+        watt_ref, batt_ref, k, normalize,
     )
-    agg_ref[:] = (m2 * (att * mask_ref[:])[..., None]).sum(1)
+    agg_ref[:] = _seg_sum(oh_i, m2 * gate)
 
 
 def _kernel_coord(a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref,
                   pb_ref, rp_ref, B_ref, ca_ref, tsp_ref, tp_ref,
                   wr_ref, wl1_ref, bl1_ref, watt_ref, batt_ref,
                   wc0_ref, bc0_ref, wc1_ref,
-                  agg_ref, trans_ref, *, normalize):
-    m2, att, cdiff = _message_chain(
+                  agg_ref, trans_ref, *, k, normalize):
+    m2, gate, cdiff, oh_i = _message_chain(
         a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref, pb_ref,
         rp_ref, B_ref, ca_ref, tsp_ref, tp_ref, wr_ref, wl1_ref, bl1_ref,
-        watt_ref, batt_ref, normalize,
+        watt_ref, batt_ref, k, normalize,
     )
-    agg_ref[:] = (m2 * (att * mask_ref[:])[..., None]).sum(1)
+    agg_ref[:] = _seg_sum(oh_i, m2 * gate)
 
-    feat = m2 * att[..., None]
+    # coord weights from the post-attention message m2 * att (egnn.py:118-126)
+    att = gate  # gate = att * mask; coord path multiplies by mask afterwards
+    # recompute att alone is unnecessary: the reference feeds coord_mlp with
+    # m2*att and multiplies trans by the edge mask — (m2*att)*mask-weighted
+    # displacement equals using gate directly only if mask in {0,1}: for
+    # masked edges both vanish, for valid ones gate == att.  mask IS binary.
+    feat = m2 * att
     cw = jax.nn.silu(
-        _bdot(feat.astype(jnp.bfloat16), wc0_ref[:].astype(jnp.bfloat16))
-        + bc0_ref[:][None, None, :]
+        _dot2(feat.astype(jnp.bfloat16), wc0_ref[:].astype(jnp.bfloat16))
+        + bc0_ref[:][None, :]
     )
-    w = jnp.clip((cw * wc1_ref[:][None, None, :]).sum(-1), -2.0, 2.0)
-    trans_ref[:] = (cdiff * (w * mask_ref[:])[..., None]).sum(1)
+    w = jnp.clip((cw * wc1_ref[:][None, :]).sum(-1, keepdims=True), -2.0, 2.0)
+    trans_ref[:] = _seg_sum(oh_i, cdiff * w * mask_ref[:])
 
 
 def _build_specs(n, k, c, e_sp, e_rp, coord: bool):
     bn = BLOCK_N
+    bnk = bn * k
     row = lambda *shape: pl.BlockSpec(
         (bn,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    erow = lambda *shape: pl.BlockSpec(
+        (bnk,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     specs = [
-        row(c),      # a_i (+bias)
-        row(3),      # ca_i rows
-        row(k),      # idx
-        row(k),      # mask
-        row(k), row(k), row(k), row(k),  # db, ob, tb, pb
-        row(k),      # rp
-        full(n, c),  # B
-        full(n, 3),  # ca
-        full(e_sp, c),  # T_sp
-        full(e_rp, c),  # T_p
-        full(c),     # w_r
-        full(c, c),  # w_l1
-        full(c),     # b_l1
-        full(c),     # w_att
-        full(1),     # b_att
+        row(c),       # a_i (+bias)
+        row(3),       # ca_i rows
+        erow(1),      # idx (flattened edges)
+        erow(1),      # mask
+        erow(1), erow(1), erow(1), erow(1),  # db, ob, tb, pb
+        erow(1),      # rp
+        full(n, c),   # B
+        full(n, 3),   # ca
+        full(e_sp, c),
+        full(e_rp, c),
+        full(c),      # w_r
+        full(c, c),   # w_l1
+        full(c),      # b_l1
+        full(c),      # w_att
+        full(1),      # b_att
     ]
     if coord:
-        specs += [full(c, c), full(c), full(c)]  # wc0, bc0, wc1
+        specs += [full(c, c), full(c), full(c)]
     return specs
+
+
+def _flat(x, dtype=None):
+    """[N, K] -> [N*K, 1] (edge-flattened column)."""
+    out = x.reshape(-1, 1)
+    return out.astype(dtype) if dtype is not None else out
 
 
 def fused_edge_layer(
@@ -167,17 +207,19 @@ def fused_edge_layer(
     *, normalize: bool, coord_params=None,
 ):
     """One E_GCL edge pipeline. Returns agg [N, C] (+ trans_sum [N, 3])."""
-    import functools
-
     n, c = B.shape
     k = idx.shape[1]
     db, ob, tb, pb = bins
     grid = (n // BLOCK_N,)
-    common = (a_i, ca, idx.astype(jnp.int32), mask, db, ob, tb, pb,
-              rp.astype(jnp.int32), B, ca, t_sp, t_p, w_r, w_l1, b_l1, w_att, b_att)
+    common = (
+        a_i, ca,
+        _flat(idx, jnp.int32), _flat(mask),
+        _flat(db), _flat(ob), _flat(tb), _flat(pb), _flat(rp, jnp.int32),
+        B, ca, t_sp, t_p, w_r, w_l1, b_l1, w_att, b_att,
+    )
     if coord_params is None:
         return pl.pallas_call(
-            functools.partial(_kernel, normalize=normalize),
+            functools.partial(_kernel, k=k, normalize=normalize),
             grid=grid,
             in_specs=_build_specs(n, k, c, t_sp.shape[0], t_p.shape[0], False),
             out_specs=pl.BlockSpec((BLOCK_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -186,7 +228,7 @@ def fused_edge_layer(
         )(*common)
     wc0, bc0, wc1 = coord_params
     return pl.pallas_call(
-        functools.partial(_kernel_coord, normalize=normalize),
+        functools.partial(_kernel_coord, k=k, normalize=normalize),
         grid=grid,
         in_specs=_build_specs(n, k, c, t_sp.shape[0], t_p.shape[0], True),
         out_specs=(
