@@ -124,9 +124,14 @@ class EMSampler:
             rot_ns = jnp.full_like(ts, cfg.rot_noise_scale).at[-1].set(0.0)
         return ts, dt, tr_ns, rot_ns
 
-    def sample_one(self, params, batch, key, record_trajectory: bool = False):
+    def sample_one(
+        self, params, batch, key, record_trajectory: bool = False, init=None
+    ):
         """Run one pose end-to-end (randomize -> num_steps reverse SDE ->
         final re-evaluation). Pure; jit/vmap-safe.
+
+        init: optional (pos0 [N,3,3], tr_update [1,3], rot_update [1,3]) to
+        start from a given pose instead of randomizing (resume / parity).
 
         Returns dict: pos [N,3,3], tr_update [1,3], rot_update [1,3],
         energy, num_clashes, tr_score, rot_score (+ trajectory [T,N,3,3])."""
@@ -134,9 +139,12 @@ class EMSampler:
         ts, dt, tr_ns_all, rot_ns_all = self._schedule()
 
         k_init, k_loop = jax.random.split(key)
-        pos0, tr_update, rot_update = randomize_pose(
-            k_init, batch["pos"], batch["lig_mask"], batch["node_mask"], cfg
-        )
+        if init is None:
+            pos0, tr_update, rot_update = randomize_pose(
+                k_init, batch["pos"], batch["lig_mask"], batch["node_mask"], cfg
+            )
+        else:
+            pos0, tr_update, rot_update = init
 
         def step(carry, inp):
             pos, tr_u, rot_u = carry
