@@ -192,7 +192,11 @@ class EGNNNet:
         rec_valid = (1.0 - lig_mask) * valid
 
         ca = pos[:, 1, :]
-        dist = pairwise_ca_dist(pos)
+        # The pair heads' distance feature D and the cutoff masks are DETACHED
+        # from the coordinate graph in the reference (vec/D are computed
+        # BEFORE lig_pos.requires_grad_(), egnn_net.py:417-424), so dedx flows
+        # only through the EGNN's live coordinate usage. `ca` stays live.
+        dist = jax.lax.stop_gradient(pairwise_ca_dist(pos))
 
         h = nn.linear(params["single_embed"], x, self.dtype)
 

@@ -41,25 +41,21 @@ def _center_on_lig(pos, lig_valid):
     return pos - _lig_bb_center(pos, lig_valid)
 
 
-def dfmdock_loss_fn(params, net, r3, so3, batch, key, exp: ExperimentConfig):
+def dfmdock_loss_fn(
+    params, net, r3, so3, batch, key, exp: ExperimentConfig, injected=None
+):
     """One training example's DFMDock losses. Returns (total, dict)."""
-    k_t, k_tr, k_rot, k_net, k_net_gt = jax.random.split(key, 5)
-    t = jax.random.uniform(k_t) * (1.0 - _EPS_T) + _EPS_T
+    from dfmdock_tpu.train.losses import draw_perturbation
+
+    k_draw, k_net, k_net_gt = jax.random.split(key, 3)
 
     valid = batch["node_mask"].astype(jnp.float32)
     lig_valid = batch["lig_mask"] * valid
     n_lig = jnp.maximum(lig_valid.sum(), 1.0)
 
-    if exp.perturb_tr:
-        tr_scale = r3.score_scaling(t)
-        tr_update, tr_score_gt = r3.forward_marginal(k_tr, t)
-    else:
-        tr_scale, tr_update, tr_score_gt = jnp.float32(1.0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
-    if exp.perturb_rot:
-        rot_scale = so3.score_scaling(t)
-        rot_update, rot_score_gt = so3.forward_marginal(k_rot, t)
-    else:
-        rot_scale, rot_update, rot_score_gt = jnp.float32(1.0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    t, tr_scale, tr_update, tr_score_gt, rot_scale, rot_update, rot_score_gt = (
+        draw_perturbation(r3, so3, exp, k_draw, injected)
+    )
 
     gt_pos = batch["pos"]
     noised_pos = _modify_coords_bb(gt_pos, lig_valid, rot_update, tr_update)

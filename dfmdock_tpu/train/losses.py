@@ -62,17 +62,22 @@ def _bce_logits(logits, labels, mask):
     return (per * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
-def loss_fn(params, net, r3, so3, batch, key, exp: ExperimentConfig):
-    """One training example's losses. Returns (total_loss, dict of terms)."""
-    k_t, k_tr, k_rot, k_net, k_net_gt = jax.random.split(key, 5)
-
+def draw_perturbation(r3, so3, exp: ExperimentConfig, key, injected=None):
+    """Sample (t, tr/rot perturbations + gt scores + scalings) for one loss
+    step (score_model_mlsb.py:66-94).  `injected` optionally supplies all
+    values (keys t, tr_update, tr_score_gt, tr_scale, rot_update,
+    rot_score_gt, rot_scale) for deterministic eval / reference parity."""
+    k_t, k_tr, k_rot = jax.random.split(key, 3)
+    if injected is not None:
+        f32 = lambda k: jnp.asarray(injected[k], jnp.float32)
+        return (
+            f32("t"),
+            f32("tr_scale"), f32("tr_update").reshape(1, 3),
+            f32("tr_score_gt").reshape(1, 3),
+            f32("rot_scale"), f32("rot_update").reshape(1, 3),
+            f32("rot_score_gt").reshape(1, 3),
+        )
     t = jax.random.uniform(k_t) * (1.0 - _EPS_T) + _EPS_T
-
-    valid = batch["node_mask"].astype(jnp.float32)
-    lig_valid = batch["lig_mask"] * valid
-    n_lig = jnp.maximum(lig_valid.sum(), 1.0)
-
-    # forward perturbation (score_model_mlsb.py:72-94)
     if exp.perturb_tr:
         tr_scale = r3.score_scaling(t)
         tr_update, tr_score_gt = r3.forward_marginal(k_tr, t)
@@ -87,6 +92,21 @@ def loss_fn(params, net, r3, so3, batch, key, exp: ExperimentConfig):
         rot_scale = jnp.float32(1.0)
         rot_update = jnp.zeros((1, 3))
         rot_score_gt = jnp.zeros((1, 3))
+    return t, tr_scale, tr_update, tr_score_gt, rot_scale, rot_update, rot_score_gt
+
+
+def loss_fn(params, net, r3, so3, batch, key, exp: ExperimentConfig, injected=None):
+    """One training example's losses. Returns (total_loss, dict of terms)."""
+    k_draw, k_net, k_net_gt = jax.random.split(key, 3)
+
+    valid = batch["node_mask"].astype(jnp.float32)
+    lig_valid = batch["lig_mask"] * valid
+    n_lig = jnp.maximum(lig_valid.sum(), 1.0)
+
+    # forward perturbation (score_model_mlsb.py:72-94)
+    t, tr_scale, tr_update, tr_score_gt, rot_scale, rot_update, rot_score_gt = (
+        draw_perturbation(r3, so3, exp, k_draw, injected)
+    )
 
     gt_pos = batch["pos"]
     noised_pos = modify_coords(gt_pos, batch["lig_mask"], rot_update, tr_update)

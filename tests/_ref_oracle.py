@@ -98,7 +98,12 @@ def ref_score_model(net_cfg, so3_cache_dir, experiment_overrides=None):
         use_contrastive_loss=False,
     )
     exp.update(experiment_overrides or {})
-    diffuser = ns(
+    return Score_Model(net_cfg, _diffuser_conf(so3_cache_dir), ns(**exp))
+
+
+def _diffuser_conf(so3_cache_dir):
+    ns = types.SimpleNamespace
+    return ns(
         r3=ns(min_sigma=0.1, max_sigma=30.0),
         so3=ns(
             num_omega=100, num_sigma=50, min_sigma=0.1, max_sigma=1.5,
@@ -106,4 +111,48 @@ def ref_score_model(net_cfg, so3_cache_dir, experiment_overrides=None):
             use_cached_score=False,
         ),
     )
-    return Score_Model(net_cfg, diffuser, ns(**exp))
+
+
+def ref_dfmdock_model(net_cfg, so3_cache_dir, experiment_overrides=None):
+    """Construct the reference DFMDock (EGNN_Net lineage) Lightning module."""
+    install_stubs()
+    from models.DFMDock import DFMDock
+
+    ns = types.SimpleNamespace
+    exp = dict(
+        lr=1e-4, weight_decay=0.0, crop_size=1200, grad_energy=True,
+        separate_energy_loss=True, perturb_tr=True, separate_tr_loss=True,
+        perturb_rot=True, separate_rot_loss=True, use_interface_loss=True,
+        use_contrastive_loss=True, use_confidence_loss=True,
+        use_dist_loss=True,
+    )
+    exp.update(experiment_overrides or {})
+    return DFMDock(net_cfg, _diffuser_conf(so3_cache_dir), ns(**exp))
+
+
+def capture_loss_draws(model, seed: int):
+    """Reproduce the (t, tr, rot) draws the reference loss_fn will make when
+    the global numpy/torch RNGs are seeded with `seed` — same calls on the
+    same diffuser objects in the same order (score_model_mlsb.py:66-94 /
+    DFMDock.py:78-101), so re-seeding before model.loss_fn(batch) yields
+    exactly these values."""
+    import numpy as np
+    import torch
+
+    np.random.seed(seed)
+    torch.manual_seed(seed)
+    eps = 1e-5
+    t = (torch.rand(1) * (1.0 - eps) + eps).item()
+    tr_scale = model.r3_diffuser.score_scaling(t)
+    tr_update, tr_score_gt = model.r3_diffuser.forward_marginal(t)
+    rot_scale = model.so3_diffuser.score_scaling(t)
+    rot_update, rot_score_gt = model.so3_diffuser.forward_marginal(t)
+    return {
+        "t": t,
+        "tr_scale": tr_scale,
+        "tr_update": tr_update,
+        "tr_score_gt": tr_score_gt,
+        "rot_scale": float(rot_scale),
+        "rot_update": rot_update,
+        "rot_score_gt": rot_score_gt,
+    }
