@@ -23,8 +23,15 @@ def relpos_bin(res_id: jnp.ndarray, asym_id: jnp.ndarray) -> jnp.ndarray:
 
 def relpos_bin_at(res_id, asym_id, idx):
     """Variant at selected neighbors: idx [N, K] -> [N, K] int32."""
-    same_chain = asym_id[:, None] == asym_id[idx]
-    offset = res_id[:, None] - res_id[idx]
+    from dfmdock_tpu.ops.gather import gather_rows
+
+    rj = gather_rows(
+        jnp.stack([res_id, asym_id], -1).astype(jnp.float32), idx
+    )
+    res_j = jnp.round(rj[..., 0]).astype(jnp.int32)
+    asym_j = jnp.round(rj[..., 1]).astype(jnp.int32)
+    same_chain = asym_id[:, None] == asym_j
+    offset = res_id[:, None] - res_j
     clipped = jnp.clip(offset + MAX_RELATIVE_IDX, 0, 2 * MAX_RELATIVE_IDX)
     return jnp.where(same_chain, clipped, 2 * MAX_RELATIVE_IDX + 1).astype(jnp.int32)
 

@@ -113,12 +113,15 @@ def sixd_bins_at(pos: jnp.ndarray, idx: jnp.ndarray):
     Returns:
       (dist_bin, omega_bin, theta_bin, phi_bin): each [N, K] int32.
     """
+    from dfmdock_tpu.ops.gather import gather_rows
+
     n_at = pos[..., 0, :]
     ca = pos[..., 1, :]
     cb = virtual_cb(pos)
 
-    ca_j = ca[idx]  # [N, K, 3]
-    cb_j = cb[idx]
+    # one-hot MXU gather (XLA's dynamic gather is a ~3 ms scalar loop here)
+    cacb_j = gather_rows(jnp.concatenate([ca, cb], -1), idx)  # [N, K, 6]
+    ca_j, cb_j = cacb_j[..., :3], cacb_j[..., 3:]
     ca_i = ca[:, None, :]
     cb_i = cb[:, None, :]
     n_i = n_at[:, None, :]

@@ -22,6 +22,9 @@ class DFMDockModel:
     def init(self, key):
         return self.net.init(key)
 
+    def embed_nodes(self, params, x):
+        return self.net.embed_nodes(params, x)
+
     def apply(self, params, batch, key, **kwargs):
         valid = batch["node_mask"].astype(jnp.float32)
         lig_valid = batch["lig_mask"] * valid

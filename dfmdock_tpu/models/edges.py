@@ -67,7 +67,10 @@ def select_edges(
     slot = jnp.arange(knn + sample_size)
     slot_ok = jnp.where(slot < knn, slot < n_knn, (slot - knn) < n_samp)
 
-    edge_mask = (
-        node_mask[:, None] & slot_ok[None, :] & node_mask[idx]
-    ).astype(jnp.float32)
+    from dfmdock_tpu.ops.gather import gather_vec
+
+    mask_j = gather_vec(node_mask, idx) > 0.5
+    edge_mask = (node_mask[:, None] & slot_ok[None, :] & mask_j).astype(
+        jnp.float32
+    )
     return idx, edge_mask

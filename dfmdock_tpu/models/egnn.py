@@ -65,8 +65,10 @@ def egcl_apply(
 
     Returns (h', coord').
     """
+    from dfmdock_tpu.ops.gather import gather_rows
+
     # radial + coord_diff (egnn.py:139-148)
-    coord_diff = coord[:, None, :] - coord[idx]  # [N, K, 3]
+    coord_diff = coord[:, None, :] - gather_rows(coord, idx)  # [N, K, 3]
     radial = (coord_diff**2).sum(-1, keepdims=True)  # [N, K, 1]
     if normalize:
         coord_diff = coord_diff / (jnp.sqrt(radial + 1e-8) + 1.0)
@@ -87,7 +89,7 @@ def egcl_apply(
     new_coord = coord
     pre = (
         a_i[:, None, :]
-        + b_j[idx]
+        + gather_rows(b_j, idx)
         + radial * w_r
         + nn.linear({"w": w_e}, edge_attr, dtype)
         + p["edge_mlp"]["l0"]["b"]

@@ -106,6 +106,11 @@ class EGNNNet:
 
     # ----------------------------------------------------------------- apply
 
+    def embed_nodes(self, params, x):
+        """Node embedding h0 = single_embed(x); static across SDE steps and
+        poses, so samplers hoist it out of the scan/vmap (batch['h0'])."""
+        return nn.linear(params["single_embed"], x, self.dtype)
+
     def apply(
         self,
         params,
@@ -115,6 +120,7 @@ class EGNNNet:
         predict: bool = False,
         return_energy: bool = False,
         train: bool = False,
+        scores_only: bool = False,
         gt_dist: jnp.ndarray | None = None,
     ):
         """Forward pass.  If `gt_dist` ([N, N] ground-truth CA distances) is
@@ -133,9 +139,14 @@ class EGNNNet:
 
         k_edges, k_drop = jax.random.split(key)
 
+        # intermediate reverse-SDE steps consume only tr/rot scores, which
+        # come from the pair force head — skip the energy/confidence/ires/
+        # clash heads there (the sampler evaluates them once, at the end)
+        scores_only = scores_only and predict and not return_energy
+
         def core(pos_in):
             return self._core(params, batch, x, pos_in, node_mask, lig_mask, t,
-                              k_edges, gt_dist)
+                              k_edges, gt_dist, skip_heads=scores_only)
 
         if return_energy:
             return core(pos)[0]
@@ -149,7 +160,7 @@ class EGNNNet:
 
         h, f, conf_logits, dist_loss, D, pair_valid = aux
 
-        ires = self._ires(params["to_ires"], h)
+        ires = None if scores_only else self._ires(params["to_ires"], h)
 
         n_lig = jnp.maximum(lig_valid.sum(), 1.0)
         if c.agg == "mean":
@@ -166,6 +177,9 @@ class EGNNNet:
         t_emb = self._t_embed(params["t_embed"], t)
         tr_score = self._rescale(params["tr_scale"], tr_pred, t_emb, k_drop, train, 0)
         rot_score = self._rescale(params["rot_scale"], rot_pred, t_emb, k_drop, train, 1)
+
+        if scores_only:
+            return {"tr_score": tr_score, "rot_score": rot_score, "f": f}
 
         outputs = {
             "tr_score": tr_score,
@@ -185,7 +199,8 @@ class EGNNNet:
 
     # ------------------------------------------------------------- internals
 
-    def _core(self, params, batch, x, pos, node_mask, lig_mask, t, k_edges, gt_dist):
+    def _core(self, params, batch, x, pos, node_mask, lig_mask, t, k_edges,
+              gt_dist, skip_heads=False):
         c = self.cfg
         valid = node_mask.astype(jnp.float32)
         lig_valid = lig_mask * valid
@@ -198,7 +213,8 @@ class EGNNNet:
         # only through the EGNN's live coordinate usage. `ca` stays live.
         dist = jax.lax.stop_gradient(pairwise_ca_dist(pos))
 
-        h = nn.linear(params["single_embed"], x, self.dtype)
+        h0 = batch.get("h0")
+        h = h0 if h0 is not None else self.embed_nodes(params, x)
 
         idx, edge_mask = select_edges(
             k_edges, jax.lax.stop_gradient(dist), node_mask,
@@ -227,9 +243,10 @@ class EGNNNet:
             w = p["l0"]["w"]
             return h @ w[: c.node_dim], h @ w[c.node_dim : 2 * c.node_dim]
 
-        eh_i, eh_j = split(params["to_energy"])
         fh_i, fh_j = split(params["to_force"])
-        ch_i, ch_j = split(params["to_confidence"])
+        if not skip_heads:
+            eh_i, eh_j = split(params["to_energy"])
+            ch_i, ch_j = split(params["to_confidence"])
         if gt_dist is not None:
             dh_i, dh_j = split(params["to_dist"])
 
@@ -246,19 +263,20 @@ class EGNNNet:
             (e_num, e_den, c_num, c_den, f_acc, d_num, d_den, i0) = carry
             ca_c, d_c, em_c, pv_c = inp
 
-            e = _pair_head(
-                params["to_energy"],
-                _rows(eh_i, i0, chunk)[:, None] + eh_j[None, :], d_c
-            ).squeeze(-1)
-            e_num = e_num + (e * em_c).sum()
-            e_den = e_den + em_c.sum()
+            if not skip_heads:
+                e = _pair_head(
+                    params["to_energy"],
+                    _rows(eh_i, i0, chunk)[:, None] + eh_j[None, :], d_c
+                ).squeeze(-1)
+                e_num = e_num + (e * em_c).sum()
+                e_den = e_den + em_c.sum()
 
-            cl = _pair_head(
-                params["to_confidence"],
-                _rows(ch_i, i0, chunk)[:, None] + ch_j[None, :], d_c
-            ).squeeze(-1)
-            c_num = c_num + (cl * pv_c).sum()
-            c_den = c_den + pv_c.sum()
+                cl = _pair_head(
+                    params["to_confidence"],
+                    _rows(ch_i, i0, chunk)[:, None] + ch_j[None, :], d_c
+                ).squeeze(-1)
+                c_num = c_num + (cl * pv_c).sum()
+                c_den = c_den + pv_c.sum()
 
             fs = _pair_head(
                 params["to_force"],

@@ -94,6 +94,13 @@ class ScoreNet:
 
     # ----------------------------------------------------------------- apply
 
+    def embed_nodes(self, params, x):
+        """Node embedding h0 = single_embed(x).  x is static across SDE steps
+        and poses, so samplers hoist this out of the scan/vmap and pass it
+        back via batch['h0'] (the reference recomputes it every forward,
+        score_net_mlsb.py:361)."""
+        return nn.linear(params["single_embed"], x, self.dtype)
+
     def apply(
         self,
         params,
@@ -103,10 +110,14 @@ class ScoreNet:
         predict: bool = False,
         return_energy: bool = False,
         train: bool = False,
+        scores_only: bool = False,
     ):
         """Forward pass. `predict` skips dedx (inference); `return_energy`
         returns the scalar energy only (contrastive loss); `train` enables
-        dropout and second-order-ready dedx."""
+        dropout and second-order-ready dedx; `scores_only` (with predict)
+        skips the energy/ires/clash heads — intermediate reverse-SDE steps
+        consume only tr_score/rot_score (inference_base.py:416-455), so the
+        sampler pays for the R x L energy scan once, at the terminal pose."""
         c = self.cfg
         x = batch["x"]
         pos = batch["pos"]
@@ -131,10 +142,12 @@ class ScoreNet:
 
         use_pallas = self.cfg.use_pallas and predict and not train
 
+        scores_only = scores_only and predict and not return_energy
+
         def core(pos_in):
             return self._core(
                 params, batch, x, pos_in, node_mask, lig_mask, t, k_edges, k_drop,
-                train, use_pallas
+                train, use_pallas, skip_energy=scores_only
             )
 
         if return_energy:
@@ -152,7 +165,7 @@ class ScoreNet:
         h, coord_out, pos_ca, D, pair_valid = aux
 
         # interface-residue head
-        ires = self._ires(params["to_ires"], h)
+        ires = None if scores_only else self._ires(params["to_ires"], h)
 
         # force from the equivariant coordinate update of ligand CAs
         # (score_net_mlsb.py:396-398)
@@ -172,6 +185,9 @@ class ScoreNet:
             params["rot_scale"], rot_pred, t_emb, k_drop, train, salt=1
         )
 
+        if scores_only:
+            return {"tr_score": tr_score, "rot_score": rot_score, "f": f}
+
         outputs = {
             "tr_score": tr_score,
             "rot_score": rot_score,
@@ -188,7 +204,7 @@ class ScoreNet:
     # ------------------------------------------------------------- internals
 
     def _core(self, params, batch, x, pos, node_mask, lig_mask, t, k_edges, k_drop,
-              train, use_pallas=False):
+              train, use_pallas=False, skip_energy=False):
         """Everything the energy depends on; differentiable w.r.t. `pos`."""
         c = self.cfg
         valid = node_mask.astype(jnp.float32)
@@ -198,8 +214,9 @@ class ScoreNet:
         ca = pos[:, 1, :]
         dist = pairwise_ca_dist(pos)
 
-        # node embedding
-        h = nn.linear(params["single_embed"], x, self.dtype)
+        # node embedding (precomputed h0 when the sampler hoisted it)
+        h0 = batch.get("h0")
+        h = h0 if h0 is not None else self.embed_nodes(params, x)
 
         # stochastic sparse graph + edge features (gathered bins -> lookups)
         idx, edge_mask = select_edges(
@@ -251,7 +268,10 @@ class ScoreNet:
         # NOTE: ops/energy_head.py holds a fused Pallas variant of this head;
         # it is numerically validated but perf-neutral vs this XLA scan
         # (53.3 vs 52.8 ms / 16-pose fwd) — parked.
-        energy = self._energy(params["to_energy"], h, pair_mask)
+        if skip_energy:
+            energy = jnp.float32(0.0)
+        else:
+            energy = self._energy(params["to_energy"], h, pair_mask)
         return energy, (h, coord_out, ca, dist, pair_valid)
 
     def _energy(self, p, h, pair_mask):

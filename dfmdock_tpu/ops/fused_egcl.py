@@ -32,7 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dfmdock_tpu.features.sixd import OMEGA_OFFSET, PHI_OFFSET, THETA_OFFSET
 
-BLOCK_N = 16  # E = BLOCK_N*K edges per block; f32 [E, C] temps bound VMEM
+BLOCK_N = 32  # E = BLOCK_N*K edges per block; f32 [E, C] temps bound VMEM
+
+# The default scoped-VMEM budget (16 MB) caps BLOCK_N at 16; raising it lets
+# bigger blocks amortize the grid's pipeline overhead (v5e has 128 MB VMEM).
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _interpret():
@@ -225,6 +233,7 @@ def fused_edge_layer(
             out_specs=pl.BlockSpec((BLOCK_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
             interpret=_interpret(),
+            compiler_params=_params(),
         )(*common)
     wc0, bc0, wc1 = coord_params
     return pl.pallas_call(
@@ -240,4 +249,5 @@ def fused_edge_layer(
             jax.ShapeDtypeStruct((n, 3), jnp.float32),
         ),
         interpret=_interpret(),
+        compiler_params=_params(),
     )(*common, wc0, bc0, wc1)

@@ -138,6 +138,13 @@ class EMSampler:
         cfg = self.cfg
         ts, dt, tr_ns_all, rot_ns_all = self._schedule()
 
+        # hoist the static node embedding out of the scan (and, under vmap,
+        # out of the pose axis: it has no batched inputs, so it is computed
+        # once per complex instead of num_steps x num_poses times)
+        if "h0" not in batch and hasattr(self.net, "embed_nodes"):
+            batch = dict(batch)
+            batch["h0"] = self.net.embed_nodes(params, batch["x"])
+
         k_init, k_loop = jax.random.split(key)
         if init is None:
             pos0, tr_update, rot_update = randomize_pose(
@@ -154,7 +161,9 @@ class EMSampler:
             b = dict(batch)
             b["pos"] = pos
             b["t"] = t
-            out = self.net.apply(params, b, k_net, predict=True)
+            # intermediate steps consume only tr/rot scores: the energy/ires/
+            # clash heads run once, in the final re-evaluation below
+            out = self.net.apply(params, b, k_net, predict=True, scores_only=True)
 
             rot = (
                 self.so3.reverse_step(
