@@ -41,6 +41,8 @@ def main(argv=None):
     ap.add_argument("--gt-energy", action="store_true",
                     help="evaluate the ground-truth pose energy only")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--ids", default=None,
+                    help="comma-separated complex ids to run (e.g. a held-out split)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--bucket", type=int, default=128,
                     help="pad N up to multiples of this (fewer recompiles)")
@@ -69,6 +71,11 @@ def main(argv=None):
     sampler = build_sampler(net, cfg)
     ds = NPZDataset(args.data_dir)
     ids = ds.ids[: args.limit] if args.limit else ds.ids
+    if args.ids:
+        want = [s.strip() for s in args.ids.split(",") if s.strip()]
+        missing = sorted(set(want) - set(ds.ids))
+        assert not missing, f"--ids not in dataset: {missing}"
+        ids = [i for i in ids if i in set(want)]
 
     done = set()
     rows = []

@@ -1,0 +1,143 @@
+"""Device-resident epoch training: the TPU-native data path.
+
+The reference re-featurizes every complex on the host each step and ships it
+to the device (ppi_mlsb_dataset.py __getitem__ + Lightning loop; batch_size=1).
+On this machine's TPU tunnel that costs ~92 ms/step of host prep + H2D against
+an 8.7 ms device step (measured, round 2).  Here the whole (small) training
+set is featurized once, stacked into one [B, ...] pool, uploaded once, and an
+entire epoch runs as a single jitted lax.scan:
+
+  - batch selection = on-device dynamic gather of pool row perm[i];
+  - rotation augmentation = on-device uniform SO(3) rotation per visit
+    (replaces the host numpy rotation, same distribution);
+  - per-step metrics come back stacked, one host sync per epoch.
+
+Crop/chain-swap variants are baked per pool build; refresh the pool every few
+epochs to resample them.  For corpora too large for HBM (e.g. PINDER), fall
+back to the streaming per-step path (cli/train --no-pool).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dfmdock_tpu.data.batching import pad_complex
+from dfmdock_tpu.data.crop import crop_complex
+from dfmdock_tpu.features.residues import sequence_to_onehot
+from dfmdock_tpu.geom import random_rotation_matrix
+
+
+def np_random_rotation(rng: np.random.RandomState) -> np.ndarray:
+    """Uniform SO(3) rotation matrix from a host numpy RNG (unit quaternion).
+
+    Pure numpy: a jax.random call in host-side prep dispatches tiny un-jitted
+    ops to the TPU tunnel (~700 ms/step measured — 2x the device step)."""
+    q = rng.randn(4)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+
+
+def make_training_batch(raw, crop_size, pad_to, rng, use_esm=True, shuffle_chains=True):
+    """Featurize + augment one complex: optional rec/lig swap, crop, random
+    global rotation (ppi_mlsb_dataset.py:380-403 semantics), padded output."""
+    rec_x = np.concatenate([raw["rec_x"], sequence_to_onehot(raw["rec_seq"])], -1)
+    lig_x = np.concatenate([raw["lig_x"], sequence_to_onehot(raw["lig_seq"])], -1)
+    rec_pos, lig_pos = raw["rec_pos"], raw["lig_pos"]
+    if not use_esm:
+        rec_x = sequence_to_onehot(raw["rec_seq"])
+        lig_x = sequence_to_onehot(raw["lig_seq"])
+
+    if shuffle_chains and rng.rand() < 0.5:
+        rec_x, lig_x = lig_x, rec_x
+        rec_pos, lig_pos = lig_pos, rec_pos
+
+    rec_x, lig_x, rec_pos, lig_pos, res_id, asym_id = crop_complex(
+        rec_x, lig_x, rec_pos, lig_pos, crop_size, rng
+    )
+
+    # random global rotation about the CA centroid (augmentation)
+    R = np_random_rotation(rng)
+    pos = np.concatenate([rec_pos, lig_pos])
+    cen = pos[:, 1].mean(0)
+    pos = (pos - cen) @ R.T
+    rec_pos, lig_pos = pos[: rec_pos.shape[0]], pos[rec_pos.shape[0]:]
+
+    return pad_complex(
+        rec_x.astype(np.float32),
+        lig_x.astype(np.float32),
+        rec_pos.astype(np.float32),
+        lig_pos.astype(np.float32),
+        pad_to=pad_to,
+        res_id=res_id,
+        asym_id=asym_id,
+    )
+
+
+def build_pool(ds, idxs, crop_size, pad_to, rng, variants: int = 2, use_esm=True):
+    """Stack `variants` augmented crops of each complex into one [B, ...]
+    numpy pool (B = len(idxs) * variants)."""
+    batches = []
+    for i in idxs:
+        raw = ds.load_raw(int(i))
+        for _ in range(variants):
+            batches.append(make_training_batch(raw, crop_size, pad_to, rng, use_esm))
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+def rotate_batch(batch, key):
+    """On-device uniform-SO(3) rotation of valid rows about the CA centroid
+    (the pool equivalent of the host rotation in make_training_batch)."""
+    valid = batch["node_mask"].astype(jnp.float32)
+    n = jnp.maximum(valid.sum(), 1.0)
+    cen = (batch["pos"][:, 1] * valid[:, None]).sum(0) / n
+    R = random_rotation_matrix(key)
+    pos = (batch["pos"] - cen) @ R.T
+    batch = dict(batch)
+    batch["pos"] = pos * valid[:, None, None]
+    return batch
+
+
+def make_epoch_runner(net, r3, so3, exp, opt, loss_fn):
+    """Jitted: one full epoch over the pool. Returns a function
+    (params, opt_state, pool, key) -> (params, opt_state, metrics [B, dict])
+    with params/opt_state donated (they never leave the device)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_epoch(params, opt_state, pool, key):
+        b_count = pool["x"].shape[0]
+        k_perm, k_loop = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, b_count)
+
+        def body(carry, i):
+            params, opt_state = carry
+            k_i = jax.random.fold_in(k_loop, i)
+            k_rot, k_loss = jax.random.split(k_i)
+            batch = jax.tree.map(lambda a: a[perm[i]], pool)
+            batch = rotate_batch(batch, k_rot)
+
+            (_, metrics), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, net, r3, so3, batch, k_loss, exp),
+                has_aux=True,
+            )(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(b_count)
+        )
+        return params, opt_state, metrics
+
+    return run_epoch

@@ -1,0 +1,105 @@
+"""Device-resident pool training path (train/pool.py + cli/train default)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfmdock_tpu.config import DFMDockConfig, ExperimentConfig, ModelConfig
+from dfmdock_tpu.data.dataset import NPZDataset
+from dfmdock_tpu.diffusion import R3Diffuser, SO3Diffuser
+from dfmdock_tpu.models import ScoreNet
+from dfmdock_tpu.train import make_optimizer
+from dfmdock_tpu.train.losses import loss_fn
+from dfmdock_tpu.train.pool import build_pool, make_epoch_runner, rotate_batch
+
+SMALL = ModelConfig(
+    lm_embed_dim=21, node_dim=16, edge_dim=8, inner_dim=8, depth=2, dropout=0.0
+)
+
+
+def _setup(crop=64, variants=2, n_complexes=3):
+    ds = NPZDataset("data/db5_npz")
+    rng = np.random.RandomState(0)
+    pool_np = build_pool(
+        ds, list(range(n_complexes)), crop, crop, rng, variants=variants,
+        use_esm=False,
+    )
+    cfg = DFMDockConfig(model=SMALL, experiment=ExperimentConfig())
+    net = ScoreNet(cfg.model)
+    r3 = R3Diffuser(cfg.diffuser.r3)
+    so3 = SO3Diffuser(cfg.diffuser.so3)
+    return net, r3, so3, cfg, pool_np
+
+
+def test_pool_shapes_and_determinism():
+    net, r3, so3, cfg, pool_np = _setup()
+    assert pool_np["x"].shape == (6, 64, 21)
+    assert pool_np["pos"].shape == (6, 64, 3, 3)
+    # every pool row keeps at least a few residues of each chain after crop
+    lig = pool_np["lig_mask"] * pool_np["node_mask"]
+    rec = (1 - pool_np["lig_mask"]) * pool_np["node_mask"]
+    assert (lig.sum(1) >= 3).all() and (rec.sum(1) >= 3).all()
+
+
+def test_epoch_runner_trains_and_is_seeded():
+    net, r3, so3, cfg, pool_np = _setup()
+    pool = {k: jnp.asarray(v) for k, v in pool_np.items()}
+    params = net.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(params, cfg.experiment)
+    run = make_epoch_runner(net, r3, so3, cfg.experiment, opt, loss_fn)
+
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), params)
+
+    def one(seed):
+        p = jax.tree.map(jnp.asarray, p0)
+        s = opt.init(p)
+        p, s, m = run(p, s, pool, jax.random.PRNGKey(seed))
+        return p, {k: np.asarray(v) for k, v in m.items()}
+
+    p1, m1 = one(7)
+    p2, m2 = one(7)
+
+    # finite per-step metrics for the whole epoch (B = 6 steps)
+    assert m1["loss"].shape == (6,)
+    assert np.isfinite(m1["loss"]).all()
+    # params actually moved
+    delta = max(
+        float(np.abs(np.asarray(a) - b).max())
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p0))
+    )
+    assert delta > 0
+    # same seed -> identical trajectory
+    np.testing.assert_array_equal(m1["loss"], m2["loss"])
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rotate_batch_preserves_geometry():
+    net, r3, so3, cfg, pool_np = _setup()
+    batch = {k: jnp.asarray(v[0]) for k, v in pool_np.items()}
+    rot = rotate_batch(batch, jax.random.PRNGKey(3))
+    v = np.asarray(batch["node_mask"]).astype(bool)
+    # pairwise CA distances among valid rows are invariant
+    ca0 = np.asarray(batch["pos"])[v, 1]
+    ca1 = np.asarray(rot["pos"])[v, 1]
+    d0 = np.linalg.norm(ca0[:, None] - ca0[None], axis=-1)
+    d1 = np.linalg.norm(ca1[:, None] - ca1[None], axis=-1)
+    np.testing.assert_allclose(d0, d1, atol=1e-3)
+    # padded rows stay zero
+    assert (np.asarray(rot["pos"])[~v] == 0).all()
+    # it is actually a different orientation
+    assert np.abs(ca0 - ca1).max() > 1.0
+
+
+def test_cli_train_pool_smoke(tmp_path):
+    """The CLI pool path end-to-end on CPU (tiny model via monkeypatched cfg
+    is overkill — just run 1 epoch of the real config on 2 complexes with
+    crop 64 and check the checkpoint lands)."""
+    import dfmdock_tpu.cli.train as cli_train
+
+    out = tmp_path / "run"
+    cli_train.main([
+        "--data-dir", "data/db5_npz", "--epochs", "1", "--crop-size", "64",
+        "--pool-variants", "1", "--ckpt-dir", str(out), "--log-every", "1",
+        "--exclude-ids", ",".join(NPZDataset("data/db5_npz").ids[2:]),
+    ])
+    assert (out / "last").exists()
