@@ -90,6 +90,8 @@ def main(argv=None):
     ap.add_argument("--use-clash-force", action="store_true")
     ap.add_argument("--noise-annealing", action="store_true")
     ap.add_argument("--ode", action="store_true")
+    ap.add_argument("--integrator", choices=["em", "heun"], default="em",
+                    help="heun: 2nd-order probability-flow ODE (implies --ode)")
     ap.add_argument("--one-hot-only", action="store_true",
                     help="skip ESM (model must be trained without it)")
     ap.add_argument("--esm-backend", choices=["auto", "jax", "hf"], default="auto",
@@ -113,7 +115,8 @@ def main(argv=None):
             rot_noise_scale=args.rot_noise_scale,
             use_clash_force=args.use_clash_force,
             noise_annealing=args.noise_annealing,
-            ode=args.ode,
+            ode=args.ode or args.integrator == "heun",
+            integrator=args.integrator,
         )
     )
     net, params = load_model(args.ckpt, cfg)

@@ -37,6 +37,8 @@ def main(argv=None):
     ap.add_argument("--tr-noise-scale", type=float, default=0.5)
     ap.add_argument("--rot-noise-scale", type=float, default=0.5)
     ap.add_argument("--ode", action="store_true")
+    ap.add_argument("--integrator", choices=["em", "heun"], default="em",
+                    help="heun: 2nd-order probability-flow ODE (implies --ode)")
     ap.add_argument("--use-clash-force", action="store_true")
     ap.add_argument("--gt-energy", action="store_true",
                     help="evaluate the ground-truth pose energy only")
@@ -64,7 +66,8 @@ def main(argv=None):
             tr_noise_scale=args.tr_noise_scale,
             rot_noise_scale=args.rot_noise_scale,
             use_clash_force=args.use_clash_force,
-            ode=args.ode,
+            ode=args.ode or args.integrator == "heun",
+            integrator=args.integrator,
         )
     )
     net, params = load_model(args.ckpt, cfg, lineage=args.lineage)

@@ -111,6 +111,10 @@ class SamplerConfig:
     # centering convention: 'ca' = ligand-CA centroid (inference_base.py:322,343),
     # 'bb' = all-backbone-atom mean (inference.py:224-225,245)
     center_mode: str = "ca"
+    # 'em' = Euler-Maruyama (reference); 'heun' = 2nd-order Heun on the
+    # probability-flow ODE (requires ode=True; 2 net evals/step, holds
+    # quality at far fewer steps — new capability, no reference counterpart)
+    integrator: str = "em"
 
 
 @dataclasses.dataclass(frozen=True)

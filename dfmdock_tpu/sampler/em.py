@@ -136,6 +136,8 @@ class EMSampler:
         Returns dict: pos [N,3,3], tr_update [1,3], rot_update [1,3],
         energy, num_clashes, tr_score, rot_score (+ trajectory [T,N,3,3])."""
         cfg = self.cfg
+        if cfg.integrator == "heun":
+            assert cfg.ode, "the Heun integrator runs on the probability-flow ODE"
         ts, dt, tr_ns_all, rot_ns_all = self._schedule()
 
         # hoist the static node embedding out of the scan (and, under vmap,
@@ -165,20 +167,42 @@ class EMSampler:
             # clash heads run once, in the final re-evaluation below
             out = self.net.apply(params, b, k_net, predict=True, scores_only=True)
 
-            rot = (
-                self.so3.reverse_step(
-                    k_rot, out["rot_score"], t, dt, noise_scale=rot_ns, ode=cfg.ode
+            def updates(o, tt, kr, kt):
+                rot = (
+                    self.so3.reverse_step(
+                        kr, o["rot_score"], tt, dt, noise_scale=rot_ns, ode=cfg.ode
+                    )
+                    if cfg.perturb_rot
+                    else jnp.zeros((1, 3))
                 )
-                if cfg.perturb_rot
-                else jnp.zeros((1, 3))
-            )
-            tr = (
-                self.r3.reverse_step(
-                    k_tr, out["tr_score"], t, dt, noise_scale=tr_ns, ode=cfg.ode
+                tr = (
+                    self.r3.reverse_step(
+                        kt, o["tr_score"], tt, dt, noise_scale=tr_ns, ode=cfg.ode
+                    )
+                    if cfg.perturb_tr
+                    else jnp.zeros((1, 3))
                 )
-                if cfg.perturb_tr
-                else jnp.zeros((1, 3))
-            )
+                return rot, tr
+
+            rot, tr = updates(out, t, k_rot, k_tr)
+
+            if cfg.integrator == "heun":
+                # 2nd-order Heun on the probability-flow ODE: corrector drift
+                # from the Euler-predicted pose at t - dt, increments averaged
+                # in the tangent space (axis-angle increments are small)
+                t2 = jnp.maximum(t - dt, cfg.eps)
+                b2 = dict(batch)
+                b2["pos"] = modify_coords(
+                    pos, batch["lig_mask"], rot, tr, cfg.center_mode
+                )
+                b2["t"] = t2
+                out2 = self.net.apply(
+                    params, b2, jax.random.fold_in(k_net, 1),
+                    predict=True, scores_only=True,
+                )
+                rot2, tr2 = updates(out2, t2, k_rot, k_tr)
+                rot = 0.5 * (rot + rot2)
+                tr = 0.5 * (tr + tr2)
 
             pos = modify_coords(pos, batch["lig_mask"], rot, tr, cfg.center_mode)
             tr_u = tr_u + tr
