@@ -59,6 +59,29 @@ def build_sampler(net, cfg: DFMDockConfig):
     return EMSampler(net, r3, so3, cfg.sampler)
 
 
+def make_runner(sampler, num_samples: int, dp: bool = False):
+    """Pose runner: (params, batch, key) -> results with a leading pose axis.
+
+    dp=True shards the poses over all visible devices via the 'dp' mesh
+    (zero collectives in the hot loop — poses are independent); dp=False runs
+    them vmapped on one device.  Build ONCE per sweep so the jit cache is
+    shared across complexes (bucketed shapes retrace, same executable cache).
+    """
+    if dp:
+        from dfmdock_tpu.parallel import make_mesh, make_pose_parallel_sampler
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        assert num_samples % n_dev == 0, (
+            f"--dp needs num_samples ({num_samples}) divisible by the device "
+            f"count ({n_dev})"
+        )
+        return make_pose_parallel_sampler(sampler, mesh, num_samples)
+    return lambda params, batch, key: sampler.sample_jit(
+        params, batch, key, num_samples
+    )
+
+
 def dock_complex(
     sampler,
     params,
@@ -67,12 +90,16 @@ def dock_complex(
     num_samples: int,
     native: tuple | None = None,
     pad_to: int | None = None,
+    run_fn=None,
 ):
     """Sample num_samples poses for one complex; return per-sample records
     and the raw results (positions padded)."""
     batch_np = complex_to_batch(raw, pad_to=pad_to)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-    results = sampler.sample_jit(params, batch, key, num_samples)
+    if run_fn is None:
+        results = sampler.sample_jit(params, batch, key, num_samples)
+    else:
+        results = run_fn(params, batch, key)
 
     R = int(raw["rec_x"].shape[0])
     L = int(raw["lig_x"].shape[0])

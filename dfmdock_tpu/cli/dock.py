@@ -19,7 +19,7 @@ import os
 import jax
 import numpy as np
 
-from dfmdock_tpu.cli.common import build_sampler, dock_complex, load_model, write_csv
+from dfmdock_tpu.cli.common import build_sampler, dock_complex, load_model, make_runner, write_csv
 from dfmdock_tpu.config import DFMDockConfig, SamplerConfig
 from dfmdock_tpu.data.convert import load_npz_complex
 from dfmdock_tpu.data.pdb_io import get_full_coords, parse_pdb, save_pdb
@@ -100,6 +100,9 @@ def main(argv=None):
     ap.add_argument("--write-all-poses", action="store_true")
     ap.add_argument("--exact", action="store_true",
                     help="f32 XLA path (default: bf16 + fused Pallas kernels)")
+    ap.add_argument("--dp", action="store_true",
+                    help="shard poses over all visible devices (jax.sharding "
+                         "Mesh; num-samples must divide by the device count)")
     args = ap.parse_args(argv)
 
     from dfmdock_tpu.config import ModelConfig
@@ -121,6 +124,7 @@ def main(argv=None):
     )
     net, params = load_model(args.ckpt, cfg)
     sampler = build_sampler(net, cfg)
+    run_fn = make_runner(sampler, args.num_samples, dp=args.dp)
     os.makedirs(args.out_dir, exist_ok=True)
 
     key = jax.random.PRNGKey(args.seed)
@@ -129,7 +133,8 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         native = (job["rec_pos"], job["lig_pos"])
         rows, results, (R, L) = dock_complex(
-            sampler, params, job, sub, args.num_samples, native=native
+            sampler, params, job, sub, args.num_samples, native=native,
+            run_fn=run_fn,
         )
         all_rows.extend(rows)
 

@@ -15,7 +15,7 @@ import os
 import jax
 import numpy as np
 
-from dfmdock_tpu.cli.common import build_sampler, dock_complex, load_model
+from dfmdock_tpu.cli.common import build_sampler, dock_complex, load_model, make_runner
 from dfmdock_tpu.config import DFMDockConfig, SamplerConfig
 from dfmdock_tpu.data.dataset import NPZDataset, complex_to_batch
 from dfmdock_tpu.data.pdb_io import get_full_coords, save_pdb, save_trajectory
@@ -51,6 +51,9 @@ def main(argv=None):
     ap.add_argument("--lineage", choices=["mlsb", "dfmdock"], default="mlsb")
     ap.add_argument("--exact", action="store_true",
                     help="f32 XLA path (default: bf16 + fused Pallas kernels)")
+    ap.add_argument("--dp", action="store_true",
+                    help="shard poses over all visible devices (jax.sharding "
+                         "Mesh; num-samples must divide by the device count)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -72,6 +75,7 @@ def main(argv=None):
     )
     net, params = load_model(args.ckpt, cfg, lineage=args.lineage)
     sampler = build_sampler(net, cfg)
+    run_fn = make_runner(sampler, args.num_samples, dp=args.dp)
     ds = NPZDataset(args.data_dir)
     ids = ds.ids[: args.limit] if args.limit else ds.ids
     if args.ids:
@@ -111,7 +115,7 @@ def main(argv=None):
             n = raw["rec_x"].shape[0] + raw["lig_x"].shape[0]
             recs, results, (R, L) = dock_complex(
                 sampler, params, raw, sub, args.num_samples, native=native,
-                pad_to=round_up(n, args.bucket),
+                pad_to=round_up(n, args.bucket), run_fn=run_fn,
             )
             rows.extend(recs)
             pos = np.asarray(results["pos"])
