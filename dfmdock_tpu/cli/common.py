@@ -53,9 +53,12 @@ def load_model(ckpt: str | None, cfg: DFMDockConfig, seed: int = 0,
     return net, jax.tree_util.tree_map(jnp.asarray, converted)
 
 
+def build_diffusers(cfg: DFMDockConfig):
+    return R3Diffuser(cfg.diffuser.r3), SO3Diffuser(cfg.diffuser.so3)
+
+
 def build_sampler(net, cfg: DFMDockConfig):
-    r3 = R3Diffuser(cfg.diffuser.r3)
-    so3 = SO3Diffuser(cfg.diffuser.so3)
+    r3, so3 = build_diffusers(cfg)
     return EMSampler(net, r3, so3, cfg.sampler)
 
 

@@ -92,6 +92,10 @@ def main(argv=None):
     ap.add_argument("--ode", action="store_true")
     ap.add_argument("--integrator", choices=["em", "heun"], default="em",
                     help="heun: 2nd-order probability-flow ODE (implies --ode)")
+    ap.add_argument("--picard-iters", type=int, default=0,
+                    help="latency mode: solve the probability-flow ODE by K "
+                         "parallel-in-time Picard iterations instead of "
+                         "num-steps sequential evals (implies --ode)")
     ap.add_argument("--one-hot-only", action="store_true",
                     help="skip ESM (model must be trained without it)")
     ap.add_argument("--esm-backend", choices=["auto", "jax", "hf"], default="auto",
@@ -118,13 +122,23 @@ def main(argv=None):
             rot_noise_scale=args.rot_noise_scale,
             use_clash_force=args.use_clash_force,
             noise_annealing=args.noise_annealing,
-            ode=args.ode or args.integrator == "heun",
+            ode=args.ode or args.integrator == "heun" or args.picard_iters > 0,
             integrator=args.integrator,
         )
     )
     net, params = load_model(args.ckpt, cfg)
     sampler = build_sampler(net, cfg)
-    run_fn = make_runner(sampler, args.num_samples, dp=args.dp)
+    if args.picard_iters > 0:
+        from dfmdock_tpu.sampler import PicardSampler
+        from dfmdock_tpu.cli.common import build_diffusers
+
+        r3, so3 = build_diffusers(cfg)
+        sampler = PicardSampler(net, r3, so3, cfg.sampler, num_iters=args.picard_iters)
+        run_fn = jax.jit(
+            lambda p, b, k: sampler.sample(p, b, k, args.num_samples)
+        )
+    else:
+        run_fn = make_runner(sampler, args.num_samples, dp=args.dp)
     os.makedirs(args.out_dir, exist_ok=True)
 
     key = jax.random.PRNGKey(args.seed)
