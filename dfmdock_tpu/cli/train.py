@@ -44,6 +44,14 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--grad-energy", action="store_true")
+    ap.add_argument("--use-contrastive-loss", action="store_true",
+                    help="contrastive gt-vs-noised energy term (score_model_mlsb.py:177)")
+    ap.add_argument("--use-confidence-loss", action="store_true",
+                    help="confidence-head BCE vs l_RMSD<5 label (DFMDock lineage)")
+    ap.add_argument("--use-dist-loss", action="store_true",
+                    help="distogram CE head (DFMDock lineage)")
+    ap.add_argument("--no-interface-loss", action="store_true",
+                    help="disable the interface BCE term")
     ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="training compute dtype (f32 accumulation either way)")
@@ -66,7 +74,14 @@ def main(argv=None):
 
     cfg = DFMDockConfig(
         model=ModelConfig(compute_dtype=args.compute_dtype),
-        experiment=ExperimentConfig(lr=args.lr, grad_energy=args.grad_energy),
+        experiment=ExperimentConfig(
+            lr=args.lr,
+            grad_energy=args.grad_energy,
+            use_contrastive_loss=args.use_contrastive_loss,
+            use_confidence_loss=args.use_confidence_loss,
+            use_dist_loss=args.use_dist_loss,
+            use_interface_loss=not args.no_interface_loss,
+        ),
     )
     net = ScoreNet(cfg.model) if args.lineage == "mlsb" else EGNNNet(cfg.model)
     loss = mlsb_loss_fn if args.lineage == "mlsb" else dfmdock_loss_fn
