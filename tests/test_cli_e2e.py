@@ -29,6 +29,36 @@ def test_cli_sweep_end_to_end_and_resume(tmp_path):
     assert _read(out) == rows
 
 
+def test_cli_sweep_gt_energy_probe(tmp_path):
+    """--gt-energy evaluates the native pose only (inference_mlsb.py:219-227):
+    metrics must be the perfect-docking values."""
+    from dfmdock_tpu.cli.sweep import main
+
+    out = tmp_path / "gt.csv"
+    main([
+        "--ids", "7CEI", "--gt-energy", "--exact", "--out-csv", str(out),
+    ])
+    (row,) = _read(out)
+    assert float(row["DockQ"]) > 0.99
+    assert float(row["l_rmsd"]) < 1e-3
+    assert row["energy"] != ""
+
+
+def test_cli_dock_csv_batch(tmp_path):
+    """CSV-batch input: (id, npz, -) rows (inference_base.py main loop)."""
+    from dfmdock_tpu.cli.dock import main
+
+    listing = tmp_path / "pairs.csv"
+    listing.write_text("7CEI,data/db5_npz/7CEI.npz,-\n")
+    out = tmp_path / "out"
+    main([
+        "--csv", str(listing), "--num-samples", "1", "--num-steps", "2",
+        "--exact", "--out-dir", str(out),
+    ])
+    (row,) = _read(out / "metrics.csv")
+    assert row["id"] == "7CEI"
+
+
 def test_cli_dock_npz_end_to_end(tmp_path):
     from dfmdock_tpu.cli.dock import main
 
