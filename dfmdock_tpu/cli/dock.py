@@ -130,10 +130,14 @@ def main(argv=None):
     sampler = build_sampler(net, cfg)
     if args.picard_iters > 0:
         from dfmdock_tpu.sampler import PicardSampler
-        from dfmdock_tpu.cli.common import build_diffusers
 
-        r3, so3 = build_diffusers(cfg)
-        sampler = PicardSampler(net, r3, so3, cfg.sampler, num_iters=args.picard_iters)
+        assert not args.dp, "--picard-iters does not support --dp pose sharding"
+        assert args.integrator == "em", "--picard-iters is its own scheme; drop --integrator"
+        # reuse the EMSampler's diffusers (a fresh SO3Diffuser would redo the
+        # IGSO3 table load)
+        sampler = PicardSampler(
+            net, sampler.r3, sampler.so3, cfg.sampler, num_iters=args.picard_iters
+        )
         run_fn = jax.jit(
             lambda p, b, k: sampler.sample(p, b, k, args.num_samples)
         )

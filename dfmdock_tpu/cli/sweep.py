@@ -77,12 +77,16 @@ def main(argv=None):
     sampler = build_sampler(net, cfg)
     run_fn = make_runner(sampler, args.num_samples, dp=args.dp)
     ds = NPZDataset(args.data_dir)
-    ids = ds.ids[: args.limit] if args.limit else ds.ids
+    # --ids filters the FULL dataset; --limit truncates afterwards (applying
+    # the limit first would silently drop explicitly requested complexes)
+    ids = ds.ids
     if args.ids:
         want = [s.strip() for s in args.ids.split(",") if s.strip()]
         missing = sorted(set(want) - set(ds.ids))
         assert not missing, f"--ids not in dataset: {missing}"
         ids = [i for i in ids if i in set(want)]
+    if args.limit:
+        ids = ids[: args.limit]
 
     done = set()
     rows = []

@@ -121,13 +121,18 @@ def main(argv=None):
     log_f = open(args.metrics_json, "a") if args.metrics_json else None
 
     def log_rows(rows):
+        """Values may still be device scalars: conversion (a blocking device
+        sync on the TPU tunnel) happens only when a log line actually fires."""
         nonlocal it
         for m in rows:
             it += 1
             if it % args.log_every == 0:
-                m = dict(m)
+                m = {
+                    k: (v if isinstance(v, (int, str)) else round(float(v), 5))
+                    for k, v in m.items()
+                }
                 m.update(step=it, t=round(time.time(), 1))
-                print({k: round(v, 5) if isinstance(v, float) else v for k, v in m.items()})
+                print(m)
                 if log_f:
                     log_f.write(json.dumps(m) + "\n")
                     log_f.flush()
@@ -173,7 +178,7 @@ def main(argv=None):
                 batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
                 key, sub = jax.random.split(key)
                 params, opt_state, metrics = step(params, opt_state, batch, sub)
-                log_rows([{**{k: float(v) for k, v in metrics.items()}, "epoch": epoch}])
+                log_rows([{**metrics, "epoch": epoch}])
             if args.ckpt_dir and args.save_every and (epoch + 1) % args.save_every == 0:
                 Trainer(net, r3, so3, cfg.experiment).save(
                     params, f"{args.ckpt_dir}/epoch{epoch}"

@@ -42,8 +42,3 @@ def gather_rows(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def gather_vec(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """src[idx] for a 1-D src [N] (ints or flags) -> [...] float32."""
     return gather_rows(src.astype(jnp.float32)[:, None], idx)[..., 0]
-
-
-def gather_int(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Exact integer gather (values < 2^16): round + cast back to int32."""
-    return jnp.round(gather_vec(src, idx)).astype(jnp.int32)

@@ -35,6 +35,10 @@ class PicardSampler:
     def __init__(self, net, r3, so3, cfg: SamplerConfig, num_iters: int = 10):
         assert cfg.ode, "Picard iteration applies to the probability-flow ODE"
         assert not cfg.use_clash_force, "clash force not supported in Picard mode"
+        assert cfg.integrator == "em", (
+            "Picard is its own integration scheme; combine it with the plain "
+            "Euler drift (integrator='em'), not heun"
+        )
         self.net = net
         self.r3 = r3
         self.so3 = so3
@@ -72,8 +76,17 @@ class PicardSampler:
             b["pos"] = pos_i
             b["t"] = t_i
             out = self.net.apply(params, b, k_i, predict=True, scores_only=True)
-            rot = self.so3.reverse_step(k_i, out["rot_score"], t_i, dt, ode=True)
-            tr = self.r3.reverse_step(k_i, out["tr_score"], t_i, dt, ode=True)
+            # honor the perturb switches exactly like EMSampler (em.py:169-181)
+            rot = (
+                self.so3.reverse_step(k_i, out["rot_score"], t_i, dt, ode=True)
+                if cfg.perturb_rot
+                else jnp.zeros((1, 3))
+            )
+            tr = (
+                self.r3.reverse_step(k_i, out["tr_score"], t_i, dt, ode=True)
+                if cfg.perturb_tr
+                else jnp.zeros((1, 3))
+            )
             return rot, tr
 
         def recompose(states_updates):

@@ -29,6 +29,21 @@ def test_cli_sweep_end_to_end_and_resume(tmp_path):
     assert _read(out) == rows
 
 
+def test_cli_sweep_ids_beat_limit(tmp_path):
+    """--ids must filter the FULL dataset before --limit truncates: 7CEI is
+    alphabetically last, so applying the limit first would silently drop it
+    and run zero complexes (round-2 review finding)."""
+    from dfmdock_tpu.cli.sweep import main
+
+    out = tmp_path / "ids_limit.csv"
+    main([
+        "--ids", "7CEI", "--limit", "1", "--gt-energy", "--exact",
+        "--out-csv", str(out),
+    ])
+    (row,) = _read(out)
+    assert row["id"] == "7CEI"
+
+
 def test_cli_sweep_gt_energy_probe(tmp_path):
     """--gt-energy evaluates the native pose only (inference_mlsb.py:219-227):
     metrics must be the perfect-docking values."""
