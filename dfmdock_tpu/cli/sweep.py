@@ -81,10 +81,10 @@ def main(argv=None):
     # the limit first would silently drop explicitly requested complexes)
     ids = ds.ids
     if args.ids:
-        want = [s.strip() for s in args.ids.split(",") if s.strip()]
-        missing = sorted(set(want) - set(ds.ids))
+        want = {s.strip() for s in args.ids.split(",") if s.strip()}
+        missing = sorted(want - set(ds.ids))
         assert not missing, f"--ids not in dataset: {missing}"
-        ids = [i for i in ids if i in set(want)]
+        ids = [i for i in ids if i in want]
     if args.limit:
         ids = ids[: args.limit]
 

@@ -120,6 +120,12 @@ def main(argv=None):
     it = 0
     log_f = open(args.metrics_json, "a") if args.metrics_json else None
 
+    trainer = Trainer(net, r3, so3, cfg.experiment)
+
+    def maybe_save(params, epoch):
+        if args.ckpt_dir and args.save_every and (epoch + 1) % args.save_every == 0:
+            trainer.save(params, f"{args.ckpt_dir}/epoch{epoch}")
+
     def log_rows(rows):
         """Values may still be device scalars: conversion (a blocking device
         sync on the TPU tunnel) happens only when a log line actually fires."""
@@ -156,10 +162,7 @@ def main(argv=None):
                 [{**{k: float(ms[k][i]) for k in ms}, "epoch": epoch}
                  for i in range(b_count)]
             )
-            if args.ckpt_dir and args.save_every and (epoch + 1) % args.save_every == 0:
-                Trainer(net, r3, so3, cfg.experiment).save(
-                    params, f"{args.ckpt_dir}/epoch{epoch}"
-                )
+            maybe_save(params, epoch)
     else:
         @jax.jit
         def step(params, opt_state, batch, key):
@@ -179,13 +182,10 @@ def main(argv=None):
                 key, sub = jax.random.split(key)
                 params, opt_state, metrics = step(params, opt_state, batch, sub)
                 log_rows([{**metrics, "epoch": epoch}])
-            if args.ckpt_dir and args.save_every and (epoch + 1) % args.save_every == 0:
-                Trainer(net, r3, so3, cfg.experiment).save(
-                    params, f"{args.ckpt_dir}/epoch{epoch}"
-                )
+            maybe_save(params, epoch)
 
     if args.ckpt_dir:
-        Trainer(net, r3, so3, cfg.experiment).save(params, f"{args.ckpt_dir}/last")
+        trainer.save(params, f"{args.ckpt_dir}/last")
     print(f"trained {it} steps")
 
 

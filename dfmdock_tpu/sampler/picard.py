@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from dfmdock_tpu.config import SamplerConfig
+from dfmdock_tpu.geom import compose_axis_angle
 from dfmdock_tpu.sampler.em import EMSampler, modify_coords, randomize_pose
 
 
@@ -89,9 +90,7 @@ class PicardSampler:
             )
             return rot, tr
 
-        def recompose(states_updates):
-            rots, trs = states_updates
-
+        def recompose(rots, trs):
             def body(pos, upd):
                 new = modify_coords(pos, lig_mask, upd[0], upd[1], cfg.center_mode)
                 return new, new
@@ -102,7 +101,7 @@ class PicardSampler:
         def picard_iter(states, _):
             # states[i] = current estimate of the pose BEFORE step i
             rots, trs = jax.vmap(drift)(states, ts, net_keys)
-            traj = recompose((rots, trs))
+            traj = recompose(rots, trs)
             new_states = jnp.concatenate([pos0[None], traj[:-1]], axis=0)
             return new_states, (traj[-1], rots, trs)
 
@@ -113,16 +112,12 @@ class PicardSampler:
         pos = finals[-1]
 
         # accumulate the final iterate's updates like the sequential sampler
-        from dfmdock_tpu.geom import compose_axis_angle
-
         tr_update = tr0 + trs[-1].sum(0)
-        rot_update = rot0
-        for_scan = rots[-1]
 
         def comp(acc, r):
             return compose_axis_angle(acc, r), None
 
-        rot_update, _ = jax.lax.scan(comp, rot_update, for_scan)
+        rot_update, _ = jax.lax.scan(comp, rot0, rots[-1])
 
         b = dict(batch)
         b["pos"] = pos

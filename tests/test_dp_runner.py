@@ -11,11 +11,8 @@ from dfmdock_tpu.diffusion import R3Diffuser, SO3Diffuser
 from dfmdock_tpu.models import ScoreNet
 from dfmdock_tpu.sampler import EMSampler
 
-from tests.test_sampler_metrics import SMALL, make_complex, to_jnp
+from tests.test_sampler_metrics import SMALL, SO3_TEST, make_complex, to_jnp
 
-SO3_TEST = SO3Config(
-    num_omega=300, num_sigma=100, expansion_L=400, cache_dir="/tmp/igso3_test_cache"
-)
 
 
 def _sampler():

@@ -9,11 +9,8 @@ from dfmdock_tpu.models import ScoreNet
 from dfmdock_tpu.sampler import EMSampler, PicardSampler
 from dfmdock_tpu.sampler.em import randomize_pose
 
-from tests.test_sampler_metrics import SMALL, make_complex, to_jnp
+from tests.test_sampler_metrics import SMALL, SO3_TEST, make_complex, to_jnp
 
-SO3_TEST = SO3Config(
-    num_omega=300, num_sigma=100, expansion_L=400, cache_dir="/tmp/igso3_test_cache"
-)
 T = 6
 
 
