@@ -95,7 +95,9 @@ def main(argv=None):
     ap.add_argument("--picard-iters", type=int, default=0,
                     help="latency mode: solve the probability-flow ODE by K "
                          "parallel-in-time Picard iterations instead of "
-                         "num-steps sequential evals (implies --ode)")
+                         "num-steps sequential evals (implies --ode; measured "
+                         "SLOWER than sequential on v5e at this model size — "
+                         "see NOTES.md/scripts/picard_latency.py)")
     ap.add_argument("--one-hot-only", action="store_true",
                     help="skip ESM (model must be trained without it)")
     ap.add_argument("--esm-backend", choices=["auto", "jax", "hf"], default="auto",
@@ -133,6 +135,16 @@ def main(argv=None):
 
         assert not args.dp, "--picard-iters does not support --dp pose sharding"
         assert args.integrator == "em", "--picard-iters is its own scheme; drop --integrator"
+        # each Picard pose holds a [T, N, 3, 3] state and runs T net evals per
+        # iteration; vmapping many poses compiles T*P concurrent evals and can
+        # exhaust HBM at full model size (ADVICE r2) — it is a latency (P~1)
+        # mode, not a throughput mode
+        assert args.num_samples <= 4, (
+            f"--picard-iters is a single-pose latency mode; --num-samples "
+            f"{args.num_samples} > 4 would vmap {args.num_samples} full "
+            f"[T,N,3,3] Picard states (HBM hazard). Use the default sampler "
+            f"for throughput."
+        )
         # reuse the EMSampler's diffusers (a fresh SO3Diffuser would redo the
         # IGSO3 table load)
         sampler = PicardSampler(

@@ -10,6 +10,10 @@ large for HBM).
 Example:
   python -m dfmdock_tpu.cli.train --data-dir data/db5_npz --lineage mlsb \\
       --epochs 2 --crop-size 448 --ckpt-dir ckpts/run0
+
+Scaling: `--batch-size B` vmaps B complexes per optimizer step (grad-mean);
+`--dp` shards that batch over every visible device (SURVEY §5 data
+parallelism; the reference is strictly single-device batch_size=1).
 """
 from __future__ import annotations
 
@@ -57,6 +61,13 @@ def main(argv=None):
                     help="training compute dtype (f32 accumulation either way)")
     ap.add_argument("--exclude-ids", default=None,
                     help="comma-separated complex ids to HOLD OUT from training")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="complexes per optimizer step (grad-mean; pool path "
+                         "only; pool rows = complexes*variants must divide)")
+    ap.add_argument("--dp", action="store_true",
+                    help="shard each step's batch over all devices "
+                         "(data-parallel; XLA inserts the grad psum over ICI; "
+                         "identical math to single-device — pool path only)")
     ap.add_argument("--no-pool", action="store_true",
                     help="stream batches from the host per step instead of the "
                          "device-resident pool (for corpora larger than HBM)")
@@ -127,8 +138,10 @@ def main(argv=None):
             trainer.save(params, f"{args.ckpt_dir}/epoch{epoch}")
 
     def log_rows(rows):
-        """Values may still be device scalars: conversion (a blocking device
-        sync on the TPU tunnel) happens only when a log line actually fires."""
+        """Emit periodic metric lines.  The pool path materializes each
+        epoch's metrics in one np.asarray sync (per EPOCH, not per step)
+        before calling this; the no-pool path passes device scalars, which
+        only block when a log line actually fires."""
         nonlocal it
         for m in rows:
             it += 1
@@ -144,7 +157,20 @@ def main(argv=None):
                     log_f.flush()
 
     if not args.no_pool:
-        run_epoch = make_epoch_runner(net, r3, so3, cfg.experiment, opt, loss)
+        mesh = None
+        if args.dp:
+            from dfmdock_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            assert args.batch_size % len(mesh.devices.flat) == 0 or \
+                args.batch_size == 1, (
+                f"--batch-size {args.batch_size} should be a multiple of the "
+                f"{len(mesh.devices.flat)} devices for even dp sharding"
+            )
+            print(f"dp over {len(mesh.devices.flat)} devices, "
+                  f"batch_size={args.batch_size}")
+        run_epoch = make_epoch_runner(net, r3, so3, cfg.experiment, opt, loss,
+                                      batch_size=args.batch_size, mesh=mesh)
         pool = None
         for epoch in range(args.epochs):
             if pool is None or (args.pool_refresh and epoch % args.pool_refresh == 0

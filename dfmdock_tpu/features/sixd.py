@@ -103,15 +103,19 @@ def _bin_pairs(dist, omega, theta, phi, same_index):
     return dist_bin, omega_bin, theta_bin, phi_bin
 
 
-def sixd_bins_at(pos: jnp.ndarray, idx: jnp.ndarray):
+def sixd_bins_at(pos: jnp.ndarray, idx: jnp.ndarray, return_ca_j: bool = False):
     """6D geometry bins at selected neighbor pairs.
 
     Args:
       pos: [N, 3, 3] backbone coords (N/CA/C).
       idx: [N, K] int neighbor indices (source i = row, dest j = idx[i, k]).
+      return_ca_j: also return the gathered neighbor CA coords [N, K, 3], so
+        callers (the fused EGNN path) reuse this one-hot gather for the EGNN
+        coord-diff instead of gathering again.
 
     Returns:
-      (dist_bin, omega_bin, theta_bin, phi_bin): each [N, K] int32.
+      (dist_bin, omega_bin, theta_bin, phi_bin): each [N, K] int32
+      [, ca_j [N, K, 3] f32].
     """
     from dfmdock_tpu.ops.gather import gather_rows
 
@@ -132,7 +136,10 @@ def sixd_bins_at(pos: jnp.ndarray, idx: jnp.ndarray):
     phi = _planar_deg(ca_i, cb_i, cb_j)
 
     same = idx == jnp.arange(pos.shape[0], dtype=idx.dtype)[:, None]
-    return _bin_pairs(dist, omega, theta, phi, same)
+    bins = _bin_pairs(dist, omega, theta, phi, same)
+    if return_ca_j:
+        return bins, ca_j
+    return bins
 
 
 def sixd_bins_dense(pos: jnp.ndarray):

@@ -156,42 +156,55 @@ def egnn_apply(
 
 def egnn_apply_fused(
     layers, spatial_w, positional_w, h, coord, idx, edge_mask, bins, rp,
-    node_mask, lig_mask, *, normalize, dtype=None
+    ca_j, node_mask, lig_mask, *, normalize, dtype=None
 ):
     """EGNN stack over the fused Pallas edge pipeline (ops/fused_egcl.py).
 
     Neighbour gathers run as one-hot MXU matmuls and the whole message chain
-    stays in VMEM; edge features arrive as integer bins with pre-fused
-    embed-tables (one-hot @ W_embed @ W_e == one-hot @ T).  Inference only.
+    stays in VMEM; per-edge scalars travel as ONE packed [16, E] table built
+    once for the whole stack; edge features arrive as integer bins with
+    pre-fused embed-tables (one-hot @ W_embed @ W_e == one-hot @ T).
+    ca_j [N, K, 3] is the neighbor CA gather already produced by the 6D
+    featurizer (reused here for coord-diff/radial).  Inference only.
     """
-    from dfmdock_tpu.ops.fused_egcl import fused_edge_layer
+    from dfmdock_tpu.ops.fused_egcl import fused_edge_layer, pack_edge_table
 
     c = h.shape[1]
+    k = idx.shape[1]
+
+    # per-step edge geometry (egnn.py:139-148), shared by all layers
+    cdiff = coord[:, None, :] - ca_j  # [N, K, 3]
+    radial = (cdiff**2).sum(-1)  # [N, K]
+    if normalize:
+        cdiff = cdiff / (jnp.sqrt(radial + 1e-8) + 1.0)[..., None]
+    tab = pack_edge_table(idx, edge_mask, bins, rp, cdiff, radial)
+
     for p in layers:
         w0 = p["edge_mlp"]["l0"]["w"]
         w_hi, w_hj = w0[:c], w0[c : 2 * c]
-        w_r = w0[2 * c]
+        w_r = w0[2 * c][None, :]  # [1, C]
         w_e = w0[2 * c + 1 :]
         a_k = nn.linear({"w": w_hi}, h, dtype) + p["edge_mlp"]["l0"]["b"]
         B = nn.linear({"w": w_hj}, h, dtype)
-        t_sp = spatial_w @ w_e  # [100, C]
-        t_p = positional_w @ w_e  # [66, C]
+        t_sp = (spatial_w @ w_e).astype(jnp.bfloat16)  # [100, C]
+        t_p = (positional_w @ w_e).astype(jnp.bfloat16)  # [66, C]
 
         update_coords = "coord_mlp" in p
         coord_params = (
             (
                 p["coord_mlp"]["l0"]["w"],
-                p["coord_mlp"]["l0"]["b"],
-                p["coord_mlp"]["l1"]["w"][:, 0],
+                p["coord_mlp"]["l0"]["b"][None, :],
+                p["coord_mlp"]["l1"]["w"][:, 0][None, :],
             )
             if update_coords
             else None
         )
         out = fused_edge_layer(
-            a_k, idx, edge_mask, bins, rp, B, coord, t_sp, t_p,
-            w_r, p["edge_mlp"]["l1"]["w"], p["edge_mlp"]["l1"]["b"],
-            p["att_mlp"]["l0"]["w"][:, 0], p["att_mlp"]["l0"]["b"],
-            normalize=normalize, coord_params=coord_params,
+            tab, a_k, B, t_sp, t_p,
+            w_r, p["edge_mlp"]["l1"]["w"], p["edge_mlp"]["l1"]["b"][None, :],
+            p["att_mlp"]["l0"]["w"][:, 0][None, :],
+            p["att_mlp"]["l0"]["b"][None, :],
+            k=k, coord_params=coord_params,
         )
         if update_coords:
             agg_m, trans_sum = out

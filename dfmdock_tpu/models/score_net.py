@@ -230,20 +230,25 @@ class ScoreNet:
         # featurization; it compiles in interpret mode but trips Mosaic
         # ("offset mismatch on non-concat dimension", likely the in-kernel
         # cross products) and was net-neutral when it ran — parked for now.
-        db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
         rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
 
         # EGNN backbone (coord update in the last layer only, ligand-gated)
         if use_pallas:
+            # reuse the featurizer's CA gather for the EGNN coord-diff: one
+            # one-hot gather per step instead of one per layer
+            (db, ob, tb, pb), ca_j = sixd_bins_at(
+                jax.lax.stop_gradient(pos), idx, return_ca_j=True
+            )
             h, coord_out = egnn_apply_fused(
                 params["egnn"],
                 params["spatial_embed"]["w"],
                 params["positional_embed"]["w"],
-                h, ca, idx, edge_mask, (db, ob, tb, pb), rp,
+                h, ca, idx, edge_mask, (db, ob, tb, pb), rp, ca_j,
                 node_mask, lig_valid,
                 normalize=c.normalize, dtype=self.dtype,
             )
         else:
+            db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
             e_spatial = spatial_embed_from_bins(
                 params["spatial_embed"]["w"], db, ob, tb, pb
             )

@@ -1,25 +1,32 @@
 """Pallas TPU kernel: fused E_GCL edge pipeline (gather + messages + agg).
 
-Motivation (measured on v5e, N=448, P=16): XLA's dynamic-index gathers cost
-~3.2 ms each and the [N, K, C] message chain round-trips HBM ~8 times per
-layer.  Design constraints discovered on Mosaic: 3D batched dot_general
-lowers as BN tiny matmuls (~100x off peak) and [BN, K, X] <-> [BN*K, X]
-in-kernel reshapes are unsupported ("infer-vector-layout: unsupported shape
-cast").  The kernel therefore works entirely in 2D over flattened edges
-(e = i*K + k), with TWO one-hot MXU matmuls replacing gathers, broadcasts
-and segment sums:
+Round-3 redesign.  The round-2 kernel passed every per-edge scalar as an
+[E, 1] column; XLA tiles a 1-wide minor dim to T(8,128), inflating each such
+tensor ~128x in HBM and VMEM (xprof r3: ~670 ms/run of reshape/select fusions
+producing s32[P,26880,1] plus ~2.3 ms/call of wasted DMA).  This version:
 
-  oh_j[e, n] = (idx[e] == n)     gather:      x_j     = oh_j @ X       (MXU)
-  oh_i[e, r] = (e // K == r)     broadcast:   a_e     = oh_i @ a_block (MXU)
-                                 segment sum: agg     = oh_i^T @ gated (MXU)
-
-  pre  = a_e + b_j + radial * w_r + oh_sp @ T_sp + oh_rp @ T_p
-  m2   = silu(silu(pre) @ W_l1 + b_l1);  att = sigmoid(m2 . w_att + b_att)
-  agg  = sum_k m2 * att * mask     (+ coord branch on the last layer)
+- packs ALL per-edge scalars (idx, mask, 5 bin families, radial, unit
+  coord-diff) into ONE [16, E] f32 "edge table" (perfectly tiled rows), built
+  once per SDE step and shared by all 6 layer calls;
+- builds every one-hot row-major from broadcasted_iota against table rows
+  (no in-kernel transposes, which Mosaic lowers as slow relayouts):
+    oh_j_T [N, E]  = (iota_n == idx_row)      gather:    b_j = oh_j_T 'T@' B
+    oh_i_b [E, BN] = (iota_e // K == iota_bn) broadcast: a_e = oh_i_b @ a_blk
+    oh_i_f [BN, E] = (iota_bn == iota_e // K) seg-sum:   agg = (oh_i_f * gate_row) @ m2
+  where 'T@' is dot_general contracting dim 0 of both operands (lhs
+  transposed — lowered natively by Mosaic, verified on v5e);
+- computes attention / coord-weight reductions as ROW dots
+  ([1, C] x [E, C] -> [1, E]) so gates fold into the segment-sum matrix
+  instead of needing [E, 1] columns;
+- takes coordinate geometry (radial, normalized coord-diff) from the table —
+  computed once per step in XLA from the same one-hot CA gather the 6D
+  featurizer already does — instead of re-gathering f32 coords per layer.
 
 Edge features arrive as integer bins with pre-fused embed tables
 (one-hot @ W_embed @ W_e == one-hot @ T).  Inference-only (predict path);
 training uses the differentiable XLA formulation in models/egnn.py.
+
+Reference semantics: src/models/egnn.py:95-159 (E_GCL edge/att/coord models).
 """
 from __future__ import annotations
 
@@ -32,11 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dfmdock_tpu.features.sixd import OMEGA_OFFSET, PHI_OFFSET, THETA_OFFSET
 
-BLOCK_N = 32  # E = BLOCK_N*K edges per block; f32 [E, C] temps bound VMEM
+BLOCK_N = 64  # source-node rows per program; padded N must be a multiple
 
-# The default scoped-VMEM budget (16 MB) caps BLOCK_N at 16; raising it lets
-# bigger blocks amortize the grid's pipeline overhead (v5e has 128 MB VMEM).
-_VMEM_LIMIT = 100 * 1024 * 1024
+# Edge-table row layout ([ROWS, E] f32; integer rows hold exact small ints)
+R_IDX, R_MASK, R_DB, R_OB, R_TB, R_PB, R_RP, R_RAD = range(8)
+R_CD = 8  # rows 8:11 = normalized coord-diff (i - j) x/y/z
+ROWS = 16  # padded to a full f32 sublane tile
+
+_VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MB VMEM; default scoped cap is 16
 
 
 def _params():
@@ -47,199 +57,258 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _dot2(a, b):
+def _dot(a, b):
+    """Standard [M, K] @ [K, N] MXU matmul, f32 accumulation."""
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _seg_sum(oh_i, x):
-    """[E, BN]^T @ [E, C] -> [BN, C] (sum over each row's K edges)."""
+def _dot_t0(a, b):
+    """Contract dim 0 of both: [K, M] 'T@' [K, N] -> [M, N] (lhs transposed)."""
     return jax.lax.dot_general(
-        oh_i, x, dimension_numbers=(((0,), (0,)), ((), ())),
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _onehots(idx, n, bn, k):
-    e = idx.shape[0]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
-    oh_j = (idx[:, None] == iota_n).astype(jnp.bfloat16)
-    e_ids = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 0)
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 1)
-    oh_i = ((e_ids // k) == r_ids).astype(jnp.bfloat16)
-    return oh_j, oh_i
+def _split_f32(x):
+    """Exact bf16 hi/lo split: x == hi + lo to ~2^-16 relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
-def _spatial_onehot(db, ob, tb, pb):
-    """Four disjoint bin families -> one [E, 100] multi-hot (bf16)."""
-    e = db.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (e, 100), 1)
-    oh = (
-        (db[:, None] == iota)
-        | (OMEGA_OFFSET + ob[:, None] == iota)
-        | (THETA_OFFSET + tb[:, None] == iota)
-        | (PHI_OFFSET + pb[:, None] == iota)
+def _dot3(a, b, dims):
+    """3-pass bf16-split matmul (~f32 precision; Mosaic supports only DEFAULT
+    and HIGHEST dot precision, and HIGHEST's 6 passes measured +4 us/program
+    on the segment-sum — this is the cheap middle).  Gate-sensitive spots
+    (segment-sum, att/coord row reductions) measurably shift the energy ~1%
+    at single-pass bf16."""
+    ah, al = _split_f32(a)
+    bh, bl = _split_f32(b)
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return oh.astype(jnp.bfloat16)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
-def _relpos_onehot(rp, n_cls):
-    e = rp.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (e, n_cls), 1)
-    return (rp[:, None] == iota).astype(jnp.bfloat16)
+def _row_dot(w_row, m):
+    """[1, C] x [E, C] -> [1, E] (contract dim 1 of both), ~f32 exact."""
+    return _dot3(w_row, m, ((1,), (1,)))
 
 
-def _message_chain(a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref,
-                   pb_ref, rp_ref, B_ref, ca_ref, tsp_ref, tp_ref,
-                   wr_ref, wl1_ref, bl1_ref, watt_ref, batt_ref,
-                   k: int, normalize: bool):
-    n = B_ref.shape[0]
+def _seg_dot(a, b):
+    """[BN, E] @ [E, C] segment-sum, ~f32 exact."""
+    return _dot3(a, b, ((1,), (0,)))
+
+
+def _to_col_exact(row, ones_col):
+    """[1, E] -> [E, 1] via two bf16 rank-1 dots (hi + residual), ~f32 exact."""
+    hi = row.astype(jnp.bfloat16)
+    lo = (row - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _dot_t0(hi, ones_col) + _dot_t0(lo, ones_col)
+
+
+def pack_edge_table(idx, edge_mask, bins, rp, cdn, radial):
+    """Build the [ROWS, N*K] f32 kernel input from [N, K] per-edge tensors.
+
+    Args:
+      idx: [N, K] int neighbor indices; edge_mask: [N, K] float validity.
+      bins: (db, ob, tb, pb) [N, K] int 6D-geometry bins.
+      rp: [N, K] int relpos class.  cdn: [N, K, 3] normalized coord-diff
+      (i - j, the EGNN `coord_diff`).  radial: [N, K] raw squared distance.
+
+    One packed tensor (vs seven [E, 1] columns) keeps every row perfectly
+    T(8,128)-tiled and costs one DMA per block.
+    """
+    db, ob, tb, pb = bins
+    e = idx.shape[0] * idx.shape[1]
+    rows = [idx, edge_mask, db, ob, tb, pb, rp, radial] + [
+        cdn[..., d] for d in range(3)
+    ]
+    tab = jnp.stack([r.reshape(e).astype(jnp.float32) for r in rows])
+    return jnp.pad(tab, ((0, ROWS - len(rows)), (0, 0)))
+
+
+def _message_chain(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
+                   wl1_ref, bl1_ref, watt_ref, batt_ref,
+                   k: int, n: int):
+    """Shared edge pipeline -> (m2 [E, C] f32, gate_row [1, E], oh_i_f)."""
     bn = a_ref.shape[0]
-    idx = idx_ref[:][:, 0]
-    oh_j, oh_i = _onehots(idx, n, bn, k)
+    e = tab_ref.shape[1]
 
-    b_j = _dot2(oh_j, B_ref[:].astype(jnp.bfloat16))  # [E, C]
-    a_e = _dot2(oh_i, a_ref[:].astype(jnp.bfloat16))  # [E, C]
-    # coordinates in f32 (radial precision)
-    ohf_j = oh_j.astype(jnp.float32)
-    ohf_i = oh_i.astype(jnp.float32)
-    ca_j = _dot2(ohf_j, ca_ref[:])  # [E, 3]
-    ca_i = _dot2(ohf_i, ca_i_ref[:])
+    idx = tab_ref[R_IDX : R_IDX + 1, :]      # [1, E] f32 (exact ints)
+    mask = tab_ref[R_MASK : R_MASK + 1, :]   # [1, E]
+    radial = tab_ref[R_RAD : R_RAD + 1, :]   # [1, E]
 
-    cdiff = ca_i - ca_j
-    radial = (cdiff * cdiff).sum(-1, keepdims=True)  # [E, 1]
-    if normalize:
-        cdiff = cdiff / (jnp.sqrt(radial + 1e-8) + 1.0)
+    # gather: oh_j_T [N, E] built row-major, b_j = oh_j_T 'T@' B  (MXU)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0).astype(jnp.float32)
+    oh_j = (iota_n == idx).astype(jnp.bfloat16)
+    b_j = _dot_t0(oh_j, B_ref[:].astype(jnp.bfloat16))  # [E, C]
 
-    e_feat = _dot2(_spatial_onehot(db_ref[:][:, 0], ob_ref[:][:, 0],
-                                   tb_ref[:][:, 0], pb_ref[:][:, 0]),
-                   tsp_ref[:].astype(jnp.bfloat16))
-    e_feat = e_feat + _dot2(_relpos_onehot(rp_ref[:][:, 0], tp_ref.shape[0]),
-                            tp_ref[:].astype(jnp.bfloat16))
+    # broadcast a_i to edges: oh_i_b [E, BN] (both dims iota -> no transpose)
+    iota_e_bn = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 0) // k
+    iota_bn = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 1)
+    oh_i_b = (iota_e_bn == iota_bn).astype(jnp.bfloat16)
+    a_e = _dot(oh_i_b, a_ref[:].astype(jnp.bfloat16))  # [E, C]
 
-    pre = a_e + b_j + radial * wr_ref[:][None, :] + e_feat
+    # edge features: multi-hot over the 4 spatial bin families + relpos
+    # spatial multi-hot, augmented with 3 radial VALUE rows: with the embed
+    # table carrying matching bf16 hi/lo rows of w_r, the same matmul also
+    # produces the radial term rad*w_r to ~2^-16 relative (rad = hi + lo and
+    # w_r ~= hi + lo are exact bf16 splits; the lo*lo cross term is dropped).
+    n_sp = tsp_ref.shape[0] - 3
+    iota_sp = jax.lax.broadcasted_iota(jnp.int32, (n_sp, e), 0).astype(jnp.float32)
+    oh_sp = (
+        (iota_sp == tab_ref[R_DB : R_DB + 1, :])
+        | (iota_sp == tab_ref[R_OB : R_OB + 1, :] + float(OMEGA_OFFSET))
+        | (iota_sp == tab_ref[R_TB : R_TB + 1, :] + float(THETA_OFFSET))
+        | (iota_sp == tab_ref[R_PB : R_PB + 1, :] + float(PHI_OFFSET))
+    ).astype(jnp.bfloat16)
+    rad_hi = radial.astype(jnp.bfloat16)
+    rad_lo = (radial - rad_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    oh_sp = jnp.concatenate([oh_sp, rad_hi, rad_lo, rad_hi], axis=0)
+    e_feat = _dot_t0(oh_sp, tsp_ref[:])  # [E, C]
+    n_rp = tp_ref.shape[0]
+    iota_rp = jax.lax.broadcasted_iota(jnp.int32, (n_rp, e), 0).astype(jnp.float32)
+    oh_rp = (iota_rp == tab_ref[R_RP : R_RP + 1, :]).astype(jnp.bfloat16)
+    e_feat = e_feat + _dot_t0(oh_rp, tp_ref[:])
+
+    pre = a_e + b_j + e_feat
     m = jax.nn.silu(pre)
     m2 = jax.nn.silu(
-        _dot2(m.astype(jnp.bfloat16), wl1_ref[:].astype(jnp.bfloat16))
-        + bl1_ref[:][None, :]
+        _dot(m.astype(jnp.bfloat16), wl1_ref[:].astype(jnp.bfloat16))
+        + bl1_ref[:]
+    )  # [E, C] f32
+
+    # attention gate as a row: [1, C] x [E, C] -> [1, E]
+    att_row = jax.nn.sigmoid(_row_dot(watt_ref[:], m2) + batt_ref[0, 0])
+    gate_row = att_row * mask  # [1, E]
+
+    # seg-sum matrix: oh_i_f [BN, E]
+    iota_bn_f = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 0)
+    iota_e_f = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 1) // k
+    oh_i_f = (iota_bn_f == iota_e_f).astype(jnp.float32)
+    return m2, gate_row, oh_i_f
+
+
+def _kernel(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
+            wl1_ref, bl1_ref, watt_ref, batt_ref,
+            agg_ref, *, k, n):
+    m2, gate_row, oh_i_f = _message_chain(
+        tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
+        wl1_ref, bl1_ref, watt_ref, batt_ref, k, n,
     )
-    att = jax.nn.sigmoid((m2 * watt_ref[:][None, :]).sum(-1, keepdims=True) + batt_ref[0])
-    gate = att * mask_ref[:]
-    return m2, gate, cdiff, oh_i
+    agg_ref[:] = _seg_dot(oh_i_f * gate_row, m2)
 
 
-def _kernel(a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref, pb_ref,
-            rp_ref, B_ref, ca_ref, tsp_ref, tp_ref,
-            wr_ref, wl1_ref, bl1_ref, watt_ref, batt_ref,
-            agg_ref, *, k, normalize):
-    m2, gate, _, oh_i = _message_chain(
-        a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref, pb_ref,
-        rp_ref, B_ref, ca_ref, tsp_ref, tp_ref, wr_ref, wl1_ref, bl1_ref,
-        watt_ref, batt_ref, k, normalize,
-    )
-    agg_ref[:] = _seg_sum(oh_i, m2 * gate)
-
-
-def _kernel_coord(a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref,
-                  pb_ref, rp_ref, B_ref, ca_ref, tsp_ref, tp_ref,
-                  wr_ref, wl1_ref, bl1_ref, watt_ref, batt_ref,
+def _kernel_coord(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
+                  wl1_ref, bl1_ref, watt_ref, batt_ref,
                   wc0_ref, bc0_ref, wc1_ref,
-                  agg_ref, trans_ref, *, k, normalize):
-    m2, gate, cdiff, oh_i = _message_chain(
-        a_ref, ca_i_ref, idx_ref, mask_ref, db_ref, ob_ref, tb_ref, pb_ref,
-        rp_ref, B_ref, ca_ref, tsp_ref, tp_ref, wr_ref, wl1_ref, bl1_ref,
-        watt_ref, batt_ref, k, normalize,
+                  agg_ref, trans_ref, *, k, n):
+    m2, gate_row, oh_i_f = _message_chain(
+        tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
+        wl1_ref, bl1_ref, watt_ref, batt_ref, k, n,
     )
-    agg_ref[:] = _seg_sum(oh_i, m2 * gate)
+    agg_ref[:] = _seg_dot(oh_i_f * gate_row, m2)
 
-    # coord weights from the post-attention message m2 * att (egnn.py:118-126)
-    att = gate  # gate = att * mask; coord path multiplies by mask afterwards
-    # recompute att alone is unnecessary: the reference feeds coord_mlp with
-    # m2*att and multiplies trans by the edge mask — (m2*att)*mask-weighted
-    # displacement equals using gate directly only if mask in {0,1}: for
-    # masked edges both vanish, for valid ones gate == att.  mask IS binary.
-    feat = m2 * att
+    # coord branch (last layer): the coord MLP consumes the gated message
+    # m2 * att * mask (egnn.py:118-126) — nonlinear in the gate, so the gate
+    # cannot fold into the later row-dot; lift it to an exact [E, 1] column.
+    ones_col = jnp.ones((1, 1), jnp.bfloat16)
+    gate_col = _to_col_exact(gate_row, ones_col)  # [E, 1]
     cw = jax.nn.silu(
-        _dot2(feat.astype(jnp.bfloat16), wc0_ref[:].astype(jnp.bfloat16))
-        + bc0_ref[:][None, :]
-    )
-    w = jnp.clip((cw * wc1_ref[:][None, :]).sum(-1, keepdims=True), -2.0, 2.0)
-    trans_ref[:] = _seg_sum(oh_i, cdiff * w * mask_ref[:])
+        _dot((m2 * gate_col).astype(jnp.bfloat16), wc0_ref[:].astype(jnp.bfloat16))
+        + bc0_ref[:]
+    )  # [E, C]
+    w_row = _row_dot(wc1_ref[:], cw)  # [1, E]
+    w_row = jnp.clip(w_row, -2.0, 2.0)
+    mask = tab_ref[R_MASK : R_MASK + 1, :]
+    oh_w = oh_i_f * (w_row * mask)  # [BN, E]
+    cdn = tab_ref[R_CD : R_CD + 3, :]  # [3, E]
+    trans_ref[:] = _dot3(oh_w, cdn, ((1,), (1,)))
 
 
-def _build_specs(n, k, c, e_sp, e_rp, coord: bool):
+def _build_specs():
     bn = BLOCK_N
-    bnk = bn * k
+
+    def tab_spec(e_blk):
+        return pl.BlockSpec(
+            (ROWS, e_blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
     row = lambda *shape: pl.BlockSpec(
         (bn,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    erow = lambda *shape: pl.BlockSpec(
-        (bnk,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    specs = [
-        row(c),       # a_i (+bias)
-        row(3),       # ca_i rows
-        erow(1),      # idx (flattened edges)
-        erow(1),      # mask
-        erow(1), erow(1), erow(1), erow(1),  # db, ob, tb, pb
-        erow(1),      # rp
-        full(n, c),   # B
-        full(n, 3),   # ca
-        full(e_sp, c),
-        full(e_rp, c),
-        full(c),      # w_r
-        full(c, c),   # w_l1
-        full(c),      # b_l1
-        full(c),      # w_att
-        full(1),      # b_att
-    ]
-    if coord:
-        specs += [full(c, c), full(c), full(c)]
-    return specs
-
-
-def _flat(x, dtype=None):
-    """[N, K] -> [N*K, 1] (edge-flattened column)."""
-    out = x.reshape(-1, 1)
-    return out.astype(dtype) if dtype is not None else out
+    return tab_spec, row, full
 
 
 def fused_edge_layer(
-    a_i, idx, mask, bins, rp, B, ca, t_sp, t_p,
-    w_r, w_l1, b_l1, w_att, b_att,
-    *, normalize: bool, coord_params=None,
+    tab, a_i, B, t_sp, t_p, w_r, w_l1, b_l1, w_att, b_att,
+    *, k: int, coord_params=None,
 ):
-    """One E_GCL edge pipeline. Returns agg [N, C] (+ trans_sum [N, 3])."""
+    """One E_GCL edge pipeline.
+
+    Args:
+      tab: [ROWS, N*K] f32 packed edge table (pack_edge_table).
+      a_i: [N, C] f32 source-node projection incl. edge-MLP bias.
+      B: [N, C] f32 dest-node projection (gathered in-kernel).
+      t_sp: [S, C] bf16 pre-fused spatial embed table (W_sp @ W_e).
+      t_p: [Rp, C] bf16 pre-fused relpos embed table.
+      w_r: [1, C] f32 radial row of the edge-MLP input weight (folded into
+        the spatial matmul as three bf16 hi/lo rows — see _message_chain).
+      w_l1: [C, C] f32; b_l1: [1, C] f32.
+      w_att: [1, C] f32; b_att: [1, 1] f32.
+      coord_params: optional (wc0 [C, C], bc0 [1, C], wc1 [1, C]).
+
+    Returns agg [N, C] f32 (+ trans_sum [N, 3] f32 with coord_params).
+    """
     n, c = B.shape
-    k = idx.shape[1]
-    db, ob, tb, pb = bins
+    assert n % BLOCK_N == 0, f"padded N={n} must be a multiple of {BLOCK_N}"
+    e_blk = BLOCK_N * k
     grid = (n // BLOCK_N,)
-    common = (
-        a_i, ca,
-        _flat(idx, jnp.int32), _flat(mask),
-        _flat(db), _flat(ob), _flat(tb), _flat(pb), _flat(rp, jnp.int32),
-        B, ca, t_sp, t_p, w_r, w_l1, b_l1, w_att, b_att,
-    )
+    # augment the spatial table with the radial rows (rad_hi*wr_hi +
+    # rad_lo*wr_hi + rad_hi*wr_lo ~= rad*w_r to ~2^-16 relative)
+    wr_hi = w_r.astype(jnp.bfloat16)
+    wr_lo = (w_r - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    t_sp_aug = jnp.concatenate([t_sp, wr_hi, wr_hi, wr_lo], axis=0)
+    tab_spec, row, full = _build_specs()
+    in_specs = [
+        tab_spec(e_blk),
+        row(c),            # a_i rows
+        full(n, c),        # B
+        full(t_sp_aug.shape[0], c),
+        full(t_p.shape[0], c),
+        full(c, c),        # w_l1
+        full(1, c),        # b_l1
+        full(1, c),        # w_att
+        full(1, 1),        # b_att
+    ]
+    common = (tab, a_i, B, t_sp_aug, t_p, w_l1, b_l1, w_att, b_att)
     if coord_params is None:
         return pl.pallas_call(
-            functools.partial(_kernel, k=k, normalize=normalize),
+            functools.partial(_kernel, k=k, n=n),
             grid=grid,
-            in_specs=_build_specs(n, k, c, t_sp.shape[0], t_p.shape[0], False),
-            out_specs=pl.BlockSpec((BLOCK_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (BLOCK_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
             interpret=_interpret(),
             compiler_params=_params(),
         )(*common)
     wc0, bc0, wc1 = coord_params
+    in_specs += [full(c, c), full(1, c), full(1, c)]
     return pl.pallas_call(
-        functools.partial(_kernel_coord, k=k, normalize=normalize),
+        functools.partial(_kernel_coord, k=k, n=n),
         grid=grid,
-        in_specs=_build_specs(n, k, c, t_sp.shape[0], t_p.shape[0], True),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((BLOCK_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_N, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),

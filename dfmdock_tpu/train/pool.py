@@ -109,34 +109,76 @@ def rotate_batch(batch, key):
     return batch
 
 
-def make_epoch_runner(net, r3, so3, exp, opt, loss_fn):
+def make_epoch_runner(net, r3, so3, exp, opt, loss_fn, batch_size: int = 1,
+                      mesh=None):
     """Jitted: one full epoch over the pool. Returns a function
-    (params, opt_state, pool, key) -> (params, opt_state, metrics [B, dict])
-    with params/opt_state donated (they never leave the device)."""
+    (params, opt_state, pool, key) -> (params, opt_state, metrics [steps, dict])
+    with params/opt_state donated (they never leave the device).
+
+    batch_size > 1 vmaps that many pool rows per optimizer step (grad-mean —
+    the standard-scale semantics the reference lacks, batch_size=1 everywhere
+    in its configs); steps/epoch = pool_rows // batch_size (pool_rows must
+    divide).  With `mesh` (a 1-axis 'dp' jax.sharding.Mesh) each step's
+    sub-batch is sharded over the devices and XLA inserts the gradient psum
+    over ICI; the math is identical to the single-device runner (same seeds
+    -> same params), so dp is a pure throughput knob.  The pool itself stays
+    replicated (it is small; DB5 pool ~100 MB) — each device gathers its own
+    sub-batch rows locally, no collective on the data path.
+    """
+    use_mesh = mesh is not None and len(mesh.devices.flat) > 1
+    if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dp = NamedSharding(mesh, PartitionSpec("dp"))
+
+    def one_loss(params, batch, k_i):
+        k_rot, k_loss = jax.random.split(k_i)
+        batch = rotate_batch(batch, k_rot)
+        return loss_fn(params, net, r3, so3, batch, k_loss, exp)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_epoch(params, opt_state, pool, key):
         b_count = pool["x"].shape[0]
+        n_steps = b_count // batch_size
+        assert n_steps * batch_size == b_count, (
+            f"pool rows {b_count} must be a multiple of batch_size {batch_size}"
+        )
         k_perm, k_loop = jax.random.split(key)
         perm = jax.random.permutation(k_perm, b_count)
 
         def body(carry, i):
             params, opt_state = carry
             k_i = jax.random.fold_in(k_loop, i)
-            k_rot, k_loss = jax.random.split(k_i)
-            batch = jax.tree.map(lambda a: a[perm[i]], pool)
-            batch = rotate_batch(batch, k_rot)
+            if batch_size == 1:
+                batch = jax.tree.map(lambda a: a[perm[i]], pool)
+
+                def scalar_loss(p):
+                    return one_loss(p, batch, k_i)
+            else:
+                idxs = jax.lax.dynamic_slice_in_dim(
+                    perm, i * batch_size, batch_size
+                )
+                batch = jax.tree.map(lambda a: a[idxs], pool)
+                keys = jax.random.split(k_i, batch_size)
+                if use_mesh:
+                    batch = jax.lax.with_sharding_constraint(batch, dp)
+                    keys = jax.lax.with_sharding_constraint(keys, dp)
+
+                def scalar_loss(p):
+                    losses, metrics = jax.vmap(
+                        lambda b, k: one_loss(p, b, k)
+                    )(batch, keys)
+                    return losses.mean(), jax.tree.map(jnp.mean, metrics)
 
             (_, metrics), grads = jax.value_and_grad(
-                lambda p: loss_fn(p, net, r3, so3, batch, k_loss, exp),
-                has_aux=True,
+                scalar_loss, has_aux=True
             )(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), metrics
 
         (params, opt_state), metrics = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(b_count)
+            body, (params, opt_state), jnp.arange(n_steps)
         )
         return params, opt_state, metrics
 

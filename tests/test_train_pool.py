@@ -103,3 +103,55 @@ def test_cli_train_pool_smoke(tmp_path):
         "--exclude-ids", ",".join(NPZDataset("data/db5_npz").ids[2:]),
     ])
     assert (out / "last").exists()
+
+
+def test_epoch_runner_batched_matches_semantics():
+    """batch_size>1: runs, trains (loss finite), steps/epoch = rows/bs."""
+    net, r3, so3, cfg, pool_np = _setup()  # 6 pool rows
+    pool = {k: jnp.asarray(v) for k, v in pool_np.items()}
+    params = net.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(params, cfg.experiment)
+    run_b2 = make_epoch_runner(net, r3, so3, cfg.experiment, opt, loss_fn,
+                               batch_size=2)
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), params)  # donated below
+    p, s, m = run_b2(params, opt.init(params), pool, jax.random.PRNGKey(3))
+    n_steps = len(np.asarray(m["loss"]))
+    assert n_steps == 3  # 6 rows / batch 2
+    assert np.isfinite(np.asarray(m["loss"])).all()
+    # params moved
+    delta = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p))
+    )
+    assert delta > 0
+
+
+def test_epoch_runner_dp_matches_single_device():
+    """dp-sharded pool epoch == unsharded epoch (same seeds -> same params):
+    the VERDICT r2 'compose dp with the pool path' deliverable."""
+    from dfmdock_tpu.parallel.mesh import make_mesh
+
+    net, r3, so3, cfg, pool_np = _setup(n_complexes=4)  # 8 pool rows
+    pool = {k: jnp.asarray(v) for k, v in pool_np.items()}
+    params0 = jax.tree.map(
+        lambda a: np.asarray(a).copy(), net.init(jax.random.PRNGKey(0))
+    )
+    opt = make_optimizer(params0, cfg.experiment)
+    mesh = make_mesh(8)
+
+    def run(mesh_arg):
+        p = jax.tree.map(jnp.asarray, params0)  # fresh buffers (donated)
+        runner = make_epoch_runner(net, r3, so3, cfg.experiment, opt, loss_fn,
+                                   batch_size=8, mesh=mesh_arg)
+        p, s, m = runner(p, opt.init(p), pool, jax.random.PRNGKey(11))
+        return (jax.tree.map(np.asarray, p),
+                {k: np.asarray(v) for k, v in m.items()})
+
+    p_dp, m_dp = run(mesh)
+    p_1d, m_1d = run(None)
+    np.testing.assert_allclose(m_dp["loss"], m_1d["loss"], rtol=1e-4)
+    # grad psum vs single-device vmap-mean differ only in fp reduction order;
+    # AdamW's 1/sqrt(v) normalization amplifies that for near-zero grads, so
+    # compare with an absolute tolerance ~1e-3 of typical weight scale
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_1d)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5)
