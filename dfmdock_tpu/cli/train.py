@@ -75,6 +75,9 @@ def main(argv=None):
                     help="augmented crop variants per complex in the pool")
     ap.add_argument("--pool-refresh", type=int, default=25,
                     help="rebuild the pool (resample crops/swaps) every N epochs")
+    ap.add_argument("--epochs-per-call", type=int, default=25,
+                    help="epochs per jitted dispatch (pool path); bounded by "
+                         "--pool-refresh/--save-every boundaries")
     ap.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     ap.add_argument("--save-every", type=int, default=0,
                     help="checkpoint every N epochs (0 = only 'last' at the end)")
@@ -172,7 +175,8 @@ def main(argv=None):
         run_epoch = make_epoch_runner(net, r3, so3, cfg.experiment, opt, loss,
                                       batch_size=args.batch_size, mesh=mesh)
         pool = None
-        for epoch in range(args.epochs):
+        epoch = 0
+        while epoch < args.epochs:
             if pool is None or (args.pool_refresh and epoch % args.pool_refresh == 0
                                 and epoch > 0):
                 pool_np = build_pool(
@@ -180,15 +184,31 @@ def main(argv=None):
                     variants=args.pool_variants,
                 )
                 pool = {k: jnp.asarray(v) for k, v in pool_np.items()}
+            # run a CHUNK of epochs in one dispatch (per-dispatch host
+            # round-trips through the tunnel dominate at 1 epoch/call):
+            # bounded by the next pool refresh / checkpoint boundary
+            chunk = min(args.epochs - epoch, args.epochs_per_call)
+            if args.pool_refresh:
+                chunk = min(chunk, args.pool_refresh - epoch % args.pool_refresh)
+            if args.save_every:
+                to_save = args.save_every - epoch % args.save_every
+                chunk = min(chunk, to_save)
             key, sub = jax.random.split(key)
-            params, opt_state, metrics = run_epoch(params, opt_state, pool, sub)
-            ms = {k: np.asarray(v) for k, v in metrics.items()}
-            b_count = len(next(iter(ms.values())))
+            if chunk == 1:
+                params, opt_state, metrics = run_epoch(params, opt_state, pool, sub)
+                ms = {k: np.asarray(v)[None] for k, v in metrics.items()}
+            else:
+                params, opt_state, metrics = run_epoch.multi(
+                    params, opt_state, pool, sub, chunk
+                )
+                ms = {k: np.asarray(v) for k, v in metrics.items()}
+            n_rows = ms[next(iter(ms))].shape[1]
             log_rows(
-                [{**{k: float(ms[k][i]) for k in ms}, "epoch": epoch}
-                 for i in range(b_count)]
+                [{**{k: float(ms[k][e, i]) for k in ms}, "epoch": epoch + e}
+                 for e in range(chunk) for i in range(n_rows)]
             )
-            maybe_save(params, epoch)
+            epoch += chunk
+            maybe_save(params, epoch - 1)
     else:
         @jax.jit
         def step(params, opt_state, batch, key):

@@ -39,7 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dfmdock_tpu.features.sixd import OMEGA_OFFSET, PHI_OFFSET, THETA_OFFSET
 
-BLOCK_N = 64  # source-node rows per program; padded N must be a multiple
+def block_n(n: int) -> int:
+    """Rows per program: chosen so the fused gather's contraction (N + BN)
+    lands exactly on a 128 multiple (N is a multiple of 64 by bucketing)."""
+    assert n % 64 == 0, f"padded N={n} must be a multiple of 64"
+    return 64 if n % 128 == 64 else 128
+
+
+BLOCK_N = 64  # fallback export (tests); real calls use block_n(n)
 
 # Edge-table row layout ([ROWS, E] f32; integer rows hold exact small ints)
 R_IDX, R_MASK, R_DB, R_OB, R_TB, R_PB, R_RP, R_RAD = range(8)
@@ -101,15 +108,15 @@ def _row_dot(w_row, m):
 
 
 def _seg_dot(a, b):
-    """[BN, E] @ [E, C] segment-sum, ~f32 exact."""
-    return _dot3(a, b, ((1,), (0,)))
-
-
-def _to_col_exact(row, ones_col):
-    """[1, E] -> [E, 1] via two bf16 rank-1 dots (hi + residual), ~f32 exact."""
-    hi = row.astype(jnp.bfloat16)
-    lo = (row - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return _dot_t0(hi, ones_col) + _dot_t0(lo, ones_col)
+    """[BN, E] @ [E, C] segment-sum, ~f32 exact.  The lhs (one-hot x binary
+    mask) is exactly bf16-representable, so two passes suffice."""
+    ah = a.astype(jnp.bfloat16)
+    bh, bl = _split_f32(b)
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return d(ah, bh) + d(ah, bl)
 
 
 def pack_edge_table(idx, edge_mask, bins, rp, cdn, radial):
@@ -136,7 +143,8 @@ def pack_edge_table(idx, edge_mask, bins, rp, cdn, radial):
 def _message_chain(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
                    wl1_ref, bl1_ref, watt_ref, batt_ref,
                    k: int, n: int):
-    """Shared edge pipeline -> (m2 [E, C] f32, gate_row [1, E], oh_i_f)."""
+    """Shared edge pipeline -> (m2 [E, C] f32, m2g gated [E, C],
+    oh_mask [BN, E] mask-folded seg-sum matrix)."""
     bn = a_ref.shape[0]
     e = tab_ref.shape[1]
 
@@ -144,22 +152,22 @@ def _message_chain(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
     mask = tab_ref[R_MASK : R_MASK + 1, :]   # [1, E]
     radial = tab_ref[R_RAD : R_RAD + 1, :]   # [1, E]
 
-    # gather: oh_j_T [N, E] built row-major, b_j = oh_j_T 'T@' B  (MXU)
+    # The ENTIRE edge-MLP input is ONE stacked one-hot/value matmul:
+    #   rows 0..N-1            select B[idx[e]]            (neighbor gather)
+    #   rows N..N+BN-1         select a[e // K]            (source broadcast
+    #                          — K = N + BN lands exactly on a 128 multiple,
+    #                          see block_n, so this rides the K-padding free)
+    #   next 100 rows          spatial-bin multi-hot @ pre-fused embed table
+    #   next 3 rows            radial VALUE rows (rad_hi/lo x w_r hi/lo bf16
+    #                          splits ~= rad * w_r to ~2^-16 relative)
+    #   last 66 rows           relpos one-hot @ pre-fused embed table
+    # Total padded contraction equals the sum of the separately-padded dots,
+    # but one MXU pipeline replaces four dots + two [E, C] adds.
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0).astype(jnp.float32)
     oh_j = (iota_n == idx).astype(jnp.bfloat16)
-    b_j = _dot_t0(oh_j, B_ref[:].astype(jnp.bfloat16))  # [E, C]
-
-    # broadcast a_i to edges: oh_i_b [E, BN] (both dims iota -> no transpose)
-    iota_e_bn = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 0) // k
-    iota_bn = jax.lax.broadcasted_iota(jnp.int32, (e, bn), 1)
-    oh_i_b = (iota_e_bn == iota_bn).astype(jnp.bfloat16)
-    a_e = _dot(oh_i_b, a_ref[:].astype(jnp.bfloat16))  # [E, C]
-
-    # edge features: multi-hot over the 4 spatial bin families + relpos
-    # spatial multi-hot, augmented with 3 radial VALUE rows: with the embed
-    # table carrying matching bf16 hi/lo rows of w_r, the same matmul also
-    # produces the radial term rad*w_r to ~2^-16 relative (rad = hi + lo and
-    # w_r ~= hi + lo are exact bf16 splits; the lo*lo cross term is dropped).
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 0)
+    e_over_k = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 1) // k
+    oh_i = iota_i == e_over_k  # [BN, E]
     n_sp = tsp_ref.shape[0] - 3
     iota_sp = jax.lax.broadcasted_iota(jnp.int32, (n_sp, e), 0).astype(jnp.float32)
     oh_sp = (
@@ -170,71 +178,73 @@ def _message_chain(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
     ).astype(jnp.bfloat16)
     rad_hi = radial.astype(jnp.bfloat16)
     rad_lo = (radial - rad_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    oh_sp = jnp.concatenate([oh_sp, rad_hi, rad_lo, rad_hi], axis=0)
-    e_feat = _dot_t0(oh_sp, tsp_ref[:])  # [E, C]
     n_rp = tp_ref.shape[0]
     iota_rp = jax.lax.broadcasted_iota(jnp.int32, (n_rp, e), 0).astype(jnp.float32)
     oh_rp = (iota_rp == tab_ref[R_RP : R_RP + 1, :]).astype(jnp.bfloat16)
-    e_feat = e_feat + _dot_t0(oh_rp, tp_ref[:])
-
-    pre = a_e + b_j + e_feat
+    oh_all = jnp.concatenate(
+        [oh_j, oh_i.astype(jnp.bfloat16), oh_sp, rad_hi, rad_lo, rad_hi, oh_rp],
+        axis=0,
+    )  # [N+BN+SP+3+RP, E]
+    t_all = jnp.concatenate(
+        [B_ref[:].astype(jnp.bfloat16), a_ref[:].astype(jnp.bfloat16),
+         tsp_ref[:], tp_ref[:]],
+        axis=0,
+    )  # [N+BN+SP+3+RP, C]
+    pre = _dot_t0(oh_all, t_all)  # [E, C]
     m = jax.nn.silu(pre)
     m2 = jax.nn.silu(
         _dot(m.astype(jnp.bfloat16), wl1_ref[:].astype(jnp.bfloat16))
         + bl1_ref[:]
     )  # [E, C] f32
 
-    # attention gate as a row: [1, C] x [E, C] -> [1, E]
-    att_row = jax.nn.sigmoid(_row_dot(watt_ref[:], m2) + batt_ref[0, 0])
-    gate_row = att_row * mask  # [1, E]
+    # attention gate as an exact-f32 VPU column reduce (egnn.py:91-103);
+    # folded into m2 so the seg-sum needs no gate row at all
+    att_col = jax.nn.sigmoid(
+        (m2 * watt_ref[:]).sum(-1, keepdims=True) + batt_ref[0, 0]
+    )  # [E, 1]
+    m2g = m2 * att_col
 
-    # seg-sum matrix: oh_i_f [BN, E]
-    iota_bn_f = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 0)
-    iota_e_f = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 1) // k
-    oh_i_f = (iota_bn_f == iota_e_f).astype(jnp.float32)
-    return m2, gate_row, oh_i_f
+    # seg-sum matrix with the edge mask folded in (mask is binary)
+    oh_mask = oh_i.astype(jnp.float32) * mask  # [BN, E]
+    return m2, m2g, oh_mask
 
 
 def _kernel(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
             wl1_ref, bl1_ref, watt_ref, batt_ref,
             agg_ref, *, k, n):
-    m2, gate_row, oh_i_f = _message_chain(
+    m2, m2g, oh_mask = _message_chain(
         tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
         wl1_ref, bl1_ref, watt_ref, batt_ref, k, n,
     )
-    agg_ref[:] = _seg_dot(oh_i_f * gate_row, m2)
+    agg_ref[:] = _seg_dot(oh_mask, m2g)
 
 
 def _kernel_coord(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
                   wl1_ref, bl1_ref, watt_ref, batt_ref,
                   wc0_ref, bc0_ref, wc1_ref,
                   agg_ref, trans_ref, *, k, n):
-    m2, gate_row, oh_i_f = _message_chain(
+    m2, m2g, oh_mask = _message_chain(
         tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
         wl1_ref, bl1_ref, watt_ref, batt_ref, k, n,
     )
-    agg_ref[:] = _seg_dot(oh_i_f * gate_row, m2)
+    agg_ref[:] = _seg_dot(oh_mask, m2g)
 
     # coord branch (last layer): the coord MLP consumes the gated message
-    # m2 * att * mask (egnn.py:118-126) — nonlinear in the gate, so the gate
-    # cannot fold into the later row-dot; lift it to an exact [E, 1] column.
-    ones_col = jnp.ones((1, 1), jnp.bfloat16)
-    gate_col = _to_col_exact(gate_row, ones_col)  # [E, 1]
+    # m2 * att * mask (egnn.py:118-126); the mask factor is deferred to the
+    # seg-sum matrix (oh_mask) — masked edges vanish there either way, and
+    # for valid edges m2 * att == m2g exactly (mask is binary).
     cw = jax.nn.silu(
-        _dot((m2 * gate_col).astype(jnp.bfloat16), wc0_ref[:].astype(jnp.bfloat16))
+        _dot(m2g.astype(jnp.bfloat16), wc0_ref[:].astype(jnp.bfloat16))
         + bc0_ref[:]
     )  # [E, C]
     w_row = _row_dot(wc1_ref[:], cw)  # [1, E]
     w_row = jnp.clip(w_row, -2.0, 2.0)
-    mask = tab_ref[R_MASK : R_MASK + 1, :]
-    oh_w = oh_i_f * (w_row * mask)  # [BN, E]
+    oh_w = oh_mask * w_row  # [BN, E]
     cdn = tab_ref[R_CD : R_CD + 3, :]  # [3, E]
     trans_ref[:] = _dot3(oh_w, cdn, ((1,), (1,)))
 
 
-def _build_specs():
-    bn = BLOCK_N
-
+def _build_specs(bn):
     def tab_spec(e_blk):
         return pl.BlockSpec(
             (ROWS, e_blk), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -270,15 +280,15 @@ def fused_edge_layer(
     Returns agg [N, C] f32 (+ trans_sum [N, 3] f32 with coord_params).
     """
     n, c = B.shape
-    assert n % BLOCK_N == 0, f"padded N={n} must be a multiple of {BLOCK_N}"
-    e_blk = BLOCK_N * k
-    grid = (n // BLOCK_N,)
+    bn = block_n(n)
+    e_blk = bn * k
+    grid = (n // bn,)
     # augment the spatial table with the radial rows (rad_hi*wr_hi +
     # rad_lo*wr_hi + rad_hi*wr_lo ~= rad*w_r to ~2^-16 relative)
     wr_hi = w_r.astype(jnp.bfloat16)
     wr_lo = (w_r - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     t_sp_aug = jnp.concatenate([t_sp, wr_hi, wr_hi, wr_lo], axis=0)
-    tab_spec, row, full = _build_specs()
+    tab_spec, row, full = _build_specs(bn)
     in_specs = [
         tab_spec(e_blk),
         row(c),            # a_i rows
@@ -297,7 +307,7 @@ def fused_edge_layer(
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (BLOCK_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (bn, c), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
             interpret=_interpret(),
@@ -310,8 +320,8 @@ def fused_edge_layer(
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((BLOCK_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_N, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, c), jnp.float32),

@@ -136,8 +136,7 @@ def make_epoch_runner(net, r3, so3, exp, opt, loss_fn, batch_size: int = 1,
         batch = rotate_batch(batch, k_rot)
         return loss_fn(params, net, r3, so3, batch, k_loss, exp)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_epoch(params, opt_state, pool, key):
+    def one_epoch(params, opt_state, pool, key):
         b_count = pool["x"].shape[0]
         n_steps = b_count // batch_size
         assert n_steps * batch_size == b_count, (
@@ -182,4 +181,28 @@ def make_epoch_runner(net, r3, so3, exp, opt, loss_fn, batch_size: int = 1,
         )
         return params, opt_state, metrics
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_epoch(params, opt_state, pool, key):
+        return one_epoch(params, opt_state, pool, key)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+    def run_epochs(params, opt_state, pool, key, n_epochs):
+        """n_epochs in ONE dispatch (outer scan).  The per-dispatch host
+        round-trip through the TPU tunnel (~50-100 ms) dominated long runs
+        at 1 epoch/call (VERDICT r2 Weak #4); metrics come back stacked
+        [n_epochs, steps_per_epoch]."""
+
+        def body(carry, e):
+            params, opt_state = carry
+            p, s, metrics = one_epoch(
+                params, opt_state, pool, jax.random.fold_in(key, e)
+            )
+            return (p, s), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_epochs)
+        )
+        return params, opt_state, metrics
+
+    run_epoch.multi = run_epochs
     return run_epoch
