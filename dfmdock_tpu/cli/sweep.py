@@ -61,7 +61,7 @@ def main(argv=None):
 
     cfg = DFMDockConfig(
         model=ModelConfig(
-            use_pallas=not args.exact and args.lineage == "mlsb",
+            use_pallas=not args.exact,
             compute_dtype="float32" if args.exact else "bfloat16",
         ),
         sampler=SamplerConfig(
