@@ -24,7 +24,12 @@ def complex_to_batch(d: dict, pad_to: int | None = None, use_esm: bool = True):
         lig_x = np.concatenate([d["lig_x"], lig_oh], axis=-1)
     else:
         rec_x, lig_x = rec_oh, lig_oh
-    return pad_complex(rec_x, lig_x, d["rec_pos"], d["lig_pos"], pad_to=pad_to)
+    b = pad_complex(rec_x, lig_x, d["rec_pos"], d["lig_pos"], pad_to=pad_to)
+    # homodimer flag (docking_dataset.py:128-140, pinder_dataset.py:101-113):
+    # carried through the batch like the reference's datasets do; the
+    # reference's loss loads it but never consumes it (DFMDock.py:264-272)
+    b["is_homomer"] = np.float32(d["rec_seq"] == d["lig_seq"])
+    return b
 
 
 class NPZDataset:

@@ -74,7 +74,7 @@ def make_training_batch(raw, crop_size, pad_to, rng, use_esm=True, shuffle_chain
     pos = (pos - cen) @ R.T
     rec_pos, lig_pos = pos[: rec_pos.shape[0]], pos[rec_pos.shape[0]:]
 
-    return pad_complex(
+    b = pad_complex(
         rec_x.astype(np.float32),
         lig_x.astype(np.float32),
         rec_pos.astype(np.float32),
@@ -83,6 +83,11 @@ def make_training_batch(raw, crop_size, pad_to, rng, use_esm=True, shuffle_chain
         res_id=res_id,
         asym_id=asym_id,
     )
+    # homodimer flag (docking_dataset.py:128-140; swap-invariant).  The
+    # reference's loss loads it but never consumes it (DFMDock.py:264-272);
+    # carried for batch-contract parity.
+    b["is_homomer"] = np.float32(raw["rec_seq"] == raw["lig_seq"])
+    return b
 
 
 def build_pool(ds, idxs, crop_size, pad_to, rng, variants: int = 2, use_esm=True):

@@ -38,6 +38,21 @@ def test_pool_shapes_and_determinism():
     lig = pool_np["lig_mask"] * pool_np["node_mask"]
     rec = (1 - pool_np["lig_mask"]) * pool_np["node_mask"]
     assert (lig.sum(1) >= 3).all() and (rec.sum(1) >= 3).all()
+    # homodimer flag carried per row (docking_dataset.py:128-140); DB5 test
+    # complexes are all heterodimers, and the flag is swap-invariant
+    assert pool_np["is_homomer"].shape == (6,)
+    assert (pool_np["is_homomer"] == 0.0).all()
+
+
+def test_is_homomer_flag():
+    from dfmdock_tpu.data.dataset import complex_to_batch
+
+    ds = NPZDataset("data/db5_npz")
+    raw = ds.load_raw(0)
+    assert complex_to_batch(raw, use_esm=False)["is_homomer"] == 0.0
+    homo = dict(raw, lig_seq=raw["rec_seq"], lig_x=raw["rec_x"],
+                lig_pos=raw["rec_pos"])
+    assert complex_to_batch(homo, use_esm=False)["is_homomer"] == 1.0
 
 
 def test_epoch_runner_trains_and_is_seeded():
