@@ -75,9 +75,16 @@ def main(argv=None):
                     help="augmented crop variants per complex in the pool")
     ap.add_argument("--pool-refresh", type=int, default=25,
                     help="rebuild the pool (resample crops/swaps) every N epochs")
-    ap.add_argument("--epochs-per-call", type=int, default=25,
+    ap.add_argument("--epochs-per-call", type=int, default=10,
                     help="epochs per jitted dispatch (pool path); bounded by "
-                         "--pool-refresh/--save-every boundaries")
+                         "--pool-refresh/--save-every boundaries. Keep "
+                         "dispatches under ~30 s of device time: the axon "
+                         "TPU tunnel kills (and can crash) the worker on "
+                         "long silent dispatches (NOTES.md round 3), and "
+                         "every DISTINCT chunk size is a separate "
+                         "executable (compile + first-run stall) — pick "
+                         "epochs/--pool-refresh/--save-every as multiples "
+                         "of this so the chunk stays constant")
     ap.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     ap.add_argument("--save-every", type=int, default=0,
                     help="checkpoint every N epochs (0 = only 'last' at the end)")

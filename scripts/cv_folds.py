@@ -64,7 +64,7 @@ def train_fold(i, holdout, epochs):
         "--exclude-ids", ",".join(holdout),
         "--seed", str(21 + i),
         "--ckpt-dir", fold_dir,
-        "--pool-refresh", "200", "--epochs-per-call", "50",
+        "--pool-refresh", "200", "--epochs-per-call", "10",
         "--save-every", "500", "--log-every", "2000",
         "--metrics-json", os.path.join(fold_dir, "train_log.jsonl"),
     ]
