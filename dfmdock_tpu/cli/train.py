@@ -36,7 +36,25 @@ from dfmdock_tpu.train.losses import loss_fn as mlsb_loss_fn
 from dfmdock_tpu.train.pool import build_pool, make_epoch_runner, make_training_batch
 
 # re-exported for callers/scripts that import it from here
-__all__ = ["make_training_batch", "main"]
+__all__ = ["make_training_batch", "dispatch_chunk", "main"]
+
+
+def dispatch_chunk(epoch: int, epochs: int, per_call: int,
+                   pool_refresh: int, save_every: int) -> int:
+    """Epochs to run in the next jitted dispatch: per_call, clipped to the
+    end of training and to the next pool-refresh / checkpoint boundary.
+
+    Every distinct value compiles a separate executable (and pays the axon
+    tunnel's multi-minute first-execution stall), so callers should pick
+    epochs / pool_refresh / save_every as multiples of per_call — then this
+    returns the same value every time (asserted in tests/test_train_pool.py).
+    """
+    chunk = min(epochs - epoch, per_call)
+    if pool_refresh:
+        chunk = min(chunk, pool_refresh - epoch % pool_refresh)
+    if save_every:
+        chunk = min(chunk, save_every - epoch % save_every)
+    return chunk
 
 
 def main(argv=None):
@@ -194,12 +212,8 @@ def main(argv=None):
             # run a CHUNK of epochs in one dispatch (per-dispatch host
             # round-trips through the tunnel dominate at 1 epoch/call):
             # bounded by the next pool refresh / checkpoint boundary
-            chunk = min(args.epochs - epoch, args.epochs_per_call)
-            if args.pool_refresh:
-                chunk = min(chunk, args.pool_refresh - epoch % args.pool_refresh)
-            if args.save_every:
-                to_save = args.save_every - epoch % args.save_every
-                chunk = min(chunk, to_save)
+            chunk = dispatch_chunk(epoch, args.epochs, args.epochs_per_call,
+                                   args.pool_refresh, args.save_every)
             key, sub = jax.random.split(key)
             if chunk == 1:
                 params, opt_state, metrics = run_epoch(params, opt_state, pool, sub)

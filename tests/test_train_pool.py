@@ -170,3 +170,31 @@ def test_epoch_runner_dp_matches_single_device():
     # compare with an absolute tolerance ~1e-3 of typical weight scale
     for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_1d)):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5)
+
+
+def test_dispatch_chunk_stays_constant_for_aligned_boundaries():
+    """One chunk size == one executable (NOTES.md round 3: the axon tunnel
+    pays a multi-minute first-run stall per distinct size, and >~60 s
+    dispatches crash the worker) — aligned boundaries must yield a single
+    constant chunk, and misaligned ones must clip at the right epochs."""
+    from dfmdock_tpu.cli.train import dispatch_chunk
+
+    def chunks(epochs, per_call, refresh, save):
+        out, e = [], 0
+        while e < epochs:
+            c = dispatch_chunk(e, epochs, per_call, refresh, save)
+            assert c > 0
+            out.append(c)
+            e += c
+        return out
+
+    # the CV-fold config: all boundaries multiples of 10 -> constant
+    assert set(chunks(2000, 10, 200, 500)) == {10}
+    # no boundaries at all
+    assert set(chunks(100, 10, 0, 0)) == {10}
+    # misaligned refresh clips at the refresh boundary (and only there)
+    assert chunks(50, 20, 25, 0) == [20, 5, 20, 5]
+    # save boundary clips the same way
+    assert chunks(30, 10, 0, 15) == [10, 5, 10, 5]
+    # tail shorter than per_call
+    assert chunks(25, 10, 0, 0) == [10, 10, 5]
