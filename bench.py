@@ -223,11 +223,27 @@ def measure_tpu():
             ),
         }
 
+    # DFMDock lineage (EGNN_Net, egnn_net.py:408-531) on the same fused
+    # stack at the headline operating point (VERDICT r2 #6)
+    from dfmdock_tpu.models.egnn_net import EGNNNet
+
+    dnet = EGNNNet(cfg.model)
+    dparams = dnet.init(jax.random.PRNGKey(0))
+    dsampler = EMSampler(dnet, r3, so3, cfg.sampler)
+    drun = jax.jit(lambda pp, b, k: dsampler.sample(pp, b, k, HEADLINE_POSES))
+    sync(drun(dparams, batch, jax.random.PRNGKey(1)))
+    start = time.perf_counter()
+    for i in range(2):
+        sync(drun(dparams, batch, jax.random.PRNGKey(2 + i)))
+    ddt = (time.perf_counter() - start) / 2
+    dfmdock_sps = round(HEADLINE_POSES * NUM_STEPS / ddt, 2)
+
     head = scaling[HEADLINE_POSES]
     return {
         "steps_per_sec_chip": head["steps_per_sec_chip"],
         "scaling": scaling,
         "pallas_parity": parity,
+        "dfmdock_lineage_steps_per_sec_chip": dfmdock_sps,
         "complex": raw["id"],
         "n_residues": int(raw["rec_x"].shape[0] + raw["lig_x"].shape[0]),
         "n_padded": n,
