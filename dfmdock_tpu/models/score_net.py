@@ -302,8 +302,14 @@ class ScoreNet:
             e = nn.linear(p["l1"], e, self.dtype).squeeze(-1)  # [chunk, N]
             return (acc_num + (e * m_c).sum(), acc_den + m_c.sum()), None
 
+        # remat the chunk body: scan's backward otherwise stacks every
+        # chunk's [chunk, N, C] pair/ln/silu residuals ([n/chunk, chunk, N, C]
+        # x several — the dominant HBM term in batched grad-energy training,
+        # 784 MB apiece at B=4/N=448).  Recomputing a chunk is one small
+        # matmul; forward-only inference is unaffected.
         (num, den), _ = jax.lax.scan(
-            body, (jnp.float32(0.0), jnp.float32(0.0)), (hr_chunks, mask_chunks)
+            jax.checkpoint(body),
+            (jnp.float32(0.0), jnp.float32(0.0)), (hr_chunks, mask_chunks)
         )
         return num / (den + 1e-6)
 

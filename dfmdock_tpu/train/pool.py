@@ -168,6 +168,12 @@ def make_epoch_runner(net, r3, so3, exp, opt, loss_fn, batch_size: int = 1,
                     batch = jax.lax.with_sharding_constraint(batch, dp)
                     keys = jax.lax.with_sharding_constraint(keys, dp)
 
+                # NB: jax.checkpoint around the whole per-sample loss does
+                # NOT cut peak HBM here (measured 20.80 -> 20.81G at B=4,
+                # crop 448): the vmapped recompute re-materializes all B
+                # forwards' intermediates concurrently in the backward.  The
+                # effective remat lives inside the model (score_net._energy
+                # checkpoints its row-chunk scan body).
                 def scalar_loss(p):
                     losses, metrics = jax.vmap(
                         lambda b, k: one_loss(p, b, k)
