@@ -146,8 +146,13 @@ def aggregate():
     def col(name):
         return np.array([r[name] for r in rows])
 
+    folds_done = sorted({r["fold"] for r in rows})
     lines = [
         "# db5_cv — 6-fold cross-validated held-out quality (round 3)",
+        "",
+        f"Folds completed so far: {folds_done} "
+        f"({len(rows)}/24 complexes; the driver is re-entrant — rerun "
+        "scripts/cv_folds.py to continue the rotation).",
         "",
         "Every bundled DB5 complex held out exactly once (6 folds x 4), each",
         "fold trained with the db5_holdout_v2 recipe (mlsb, 2000 epochs,",
