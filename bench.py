@@ -34,6 +34,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compilation cache (same dir the CLIs use): the bench builds
+# ~13 executables (parity matrix + P sweep) and the TPU tunnel's
+# first-compile/first-exec cost dominates a cold run — warm runs reuse them
+import jax  # noqa: E402
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 NUM_STEPS = 40
 POSE_COUNTS = (16, 40, 64, 120)
 HEADLINE_POSES = 40
@@ -119,8 +133,12 @@ def pallas_parity_check(fast, slow, params, real_batch):
     for label, batch in cases:
         for t in PARITY_T:
             b = dict(batch)
-            b["t"] = t
+            # device scalar, NOT a python float: a float constant-folds into
+            # the trace and every t value becomes its own executable — 24
+            # cold compiles through the TPU tunnel instead of 8
+            b["t"] = jax.numpy.float32(t)
             key = jax.random.PRNGKey(7)
+            print(f"# parity {label} t={t}", file=sys.stderr, flush=True)
             o_fast = f_fast(params, b, key)
             o_slow = f_slow(params, b, key)
             for name, tol in PARITY_TOL.items():
@@ -203,6 +221,7 @@ def measure_tpu():
     dev_flops, alg_flops = _flops_per_step_pose(cfg.model, n)
     scaling = {}
     for p_count in POSE_COUNTS:
+        print(f"# timing P={p_count}", file=sys.stderr, flush=True)
         run = jax.jit(lambda pp, b, k, P=p_count: sampler.sample(pp, b, k, P))
         sync(run(params, batch, jax.random.PRNGKey(1)))  # compile + warmup
         reps = 3 if p_count <= 40 else 2
@@ -227,6 +246,7 @@ def measure_tpu():
     # stack at the headline operating point (VERDICT r2 #6)
     from dfmdock_tpu.models.egnn_net import EGNNNet
 
+    print("# timing dfmdock lineage", file=sys.stderr, flush=True)
     dnet = EGNNNet(cfg.model)
     dparams = dnet.init(jax.random.PRNGKey(0))
     dsampler = EMSampler(dnet, r3, so3, cfg.sampler)

@@ -37,7 +37,12 @@ from dfmdock_tpu.features.sixd import (
 )
 from dfmdock_tpu.models import modules as nn
 from dfmdock_tpu.models.edges import select_edges
-from dfmdock_tpu.models.egnn import egnn_apply, egnn_apply_fused, egnn_init
+from dfmdock_tpu.models.egnn import (
+    build_edge_table_xla,
+    egnn_apply,
+    egnn_apply_fused,
+    egnn_init,
+)
 
 ENERGY_ROW_CHUNK = 64  # padded N must be a multiple of this
 
@@ -226,28 +231,33 @@ class ScoreNet:
             knn=c.knn,
             sample_size=c.sample_size,
         )
-        # NOTE: ops/edge_bins.py holds a gather-free Pallas variant of this
-        # featurization; it compiles in interpret mode but trips Mosaic
-        # ("offset mismatch on non-concat dimension", likely the in-kernel
-        # cross products) and was net-neutral when it ran — parked for now.
-        rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
-
         # EGNN backbone (coord update in the last layer only, ligand-gated)
         if use_pallas:
-            # reuse the featurizer's CA gather for the EGNN coord-diff: one
-            # one-hot gather per step instead of one per layer
-            (db, ob, tb, pb), ca_j = sixd_bins_at(
-                jax.lax.stop_gradient(pos), idx, return_ca_j=True
-            )
+            # packed [16, E] edge table (6D bins + relpos + coord geometry),
+            # built once per step and shared by all 6 layer kernels — in one
+            # Pallas pass (ops/edge_table.py) or via the XLA featurize
+            if c.edge_table_kernel:
+                from dfmdock_tpu.ops.edge_table import build_edge_table
+
+                tab = build_edge_table(
+                    idx, edge_mask, jax.lax.stop_gradient(pos),
+                    batch["res_id"], batch["asym_id"], normalize=c.normalize,
+                )
+            else:
+                tab = build_edge_table_xla(
+                    idx, edge_mask, jax.lax.stop_gradient(pos),
+                    batch["res_id"], batch["asym_id"], normalize=c.normalize,
+                )
             h, coord_out = egnn_apply_fused(
                 params["egnn"],
                 params["spatial_embed"]["w"],
                 params["positional_embed"]["w"],
-                h, ca, idx, edge_mask, (db, ob, tb, pb), rp, ca_j,
+                h, ca, tab, edge_mask,
                 node_mask, lig_valid,
-                normalize=c.normalize, dtype=self.dtype,
+                dtype=self.dtype,
             )
         else:
+            rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
             db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
             e_spatial = spatial_embed_from_bins(
                 params["spatial_embed"]["w"], db, ob, tb, pb
@@ -276,10 +286,10 @@ class ScoreNet:
         if skip_energy:
             energy = jnp.float32(0.0)
         else:
-            energy = self._energy(params["to_energy"], h, pair_mask)
+            energy = self._energy(params["to_energy"], h, pair_mask, train)
         return energy, (h, coord_out, ca, dist, pair_valid)
 
-    def _energy(self, p, h, pair_mask):
+    def _energy(self, p, h, pair_mask, train=False):
         """Masked mean of MLP(concat[h_i, h_j]) over rec x lig pairs,
         scanned over row chunks (score_net_mlsb.py:289-294,386-390)."""
         n = h.shape[0]
@@ -302,14 +312,16 @@ class ScoreNet:
             e = nn.linear(p["l1"], e, self.dtype).squeeze(-1)  # [chunk, N]
             return (acc_num + (e * m_c).sum(), acc_den + m_c.sum()), None
 
-        # remat the chunk body: scan's backward otherwise stacks every
-        # chunk's [chunk, N, C] pair/ln/silu residuals ([n/chunk, chunk, N, C]
-        # x several — the dominant HBM term in batched grad-energy training,
-        # 784 MB apiece at B=4/N=448).  Recomputing a chunk is one small
-        # matmul; forward-only inference is unaffected.
+        # remat the chunk body IN TRAINING ONLY: scan's backward otherwise
+        # stacks every chunk's [chunk, N, C] pair/ln/silu residuals
+        # ([n/chunk, chunk, N, C] x several — the dominant HBM term in
+        # batched grad-energy training, 784 MB apiece at B=4/N=448).
+        # Recomputing a chunk is one small matmul.  Inference keeps the
+        # plain body so predict-mode HLO (and the persistent compile cache
+        # the bench/CLI executables live in) is unchanged.
+        step = jax.checkpoint(body) if train else body
         (num, den), _ = jax.lax.scan(
-            jax.checkpoint(body),
-            (jnp.float32(0.0), jnp.float32(0.0)), (hr_chunks, mask_chunks)
+            step, (jnp.float32(0.0), jnp.float32(0.0)), (hr_chunks, mask_chunks)
         )
         return num / (den + 1e-6)
 
