@@ -34,6 +34,10 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Fused Pallas EGCL message kernel on the inference (predict) path.
     use_pallas: bool = False
+    # Build the packed [16, E] edge table (6D bins + relpos + coord geometry)
+    # in one Pallas pass (ops/edge_table.py) instead of the XLA featurize.
+    # Only consulted when use_pallas is on.
+    edge_table_kernel: bool = False
     # mlsb Score_Net centers on the ligand-CA centroid inside the net
     # (score_net_mlsb.py:353-355); the older score_net.py twin does not
     # (its wrapper centers instead, score_model.py:61-78).

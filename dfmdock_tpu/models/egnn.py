@@ -154,30 +154,41 @@ def egnn_apply(
     return h, coord
 
 
+def build_edge_table_xla(idx, edge_mask, pos, res_id, asym_id, *, normalize):
+    """The packed [16, E] edge table via the XLA featurize (one-hot-matmul
+    gathers + jnp trig) — the reference builder for ops/edge_table.py's
+    Pallas kernel and the fallback when edge_table_kernel is off."""
+    from dfmdock_tpu.features.positional import relpos_bin_at
+    from dfmdock_tpu.features.sixd import sixd_bins_at
+    from dfmdock_tpu.ops.fused_egcl import pack_edge_table
+
+    bins, ca_j = sixd_bins_at(pos, idx, return_ca_j=True)
+    rp = relpos_bin_at(res_id, asym_id, idx)
+    # per-step edge geometry (egnn.py:139-148), shared by all layers
+    cdiff = pos[:, None, 1, :] - ca_j  # [N, K, 3]
+    radial = (cdiff**2).sum(-1)  # [N, K]
+    if normalize:
+        cdiff = cdiff / (jnp.sqrt(radial + 1e-8) + 1.0)[..., None]
+    return pack_edge_table(idx, edge_mask, bins, rp, cdiff, radial)
+
+
 def egnn_apply_fused(
-    layers, spatial_w, positional_w, h, coord, idx, edge_mask, bins, rp,
-    ca_j, node_mask, lig_mask, *, normalize, dtype=None
+    layers, spatial_w, positional_w, h, coord, tab, edge_mask,
+    node_mask, lig_mask, *, dtype=None
 ):
     """EGNN stack over the fused Pallas edge pipeline (ops/fused_egcl.py).
 
     Neighbour gathers run as one-hot MXU matmuls and the whole message chain
-    stays in VMEM; per-edge scalars travel as ONE packed [16, E] table built
-    once for the whole stack; edge features arrive as integer bins with
-    pre-fused embed-tables (one-hot @ W_embed @ W_e == one-hot @ T).
-    ca_j [N, K, 3] is the neighbor CA gather already produced by the 6D
-    featurizer (reused here for coord-diff/radial).  Inference only.
+    stays in VMEM; per-edge scalars travel as ONE packed [16, E] table
+    (`tab`, from ops/edge_table.build_edge_table or build_edge_table_xla)
+    built once for the whole stack; edge features arrive as integer bins
+    with pre-fused embed-tables (one-hot @ W_embed @ W_e == one-hot @ T).
+    Inference only.
     """
-    from dfmdock_tpu.ops.fused_egcl import fused_edge_layer, pack_edge_table
+    from dfmdock_tpu.ops.fused_egcl import fused_edge_layer
 
     c = h.shape[1]
-    k = idx.shape[1]
-
-    # per-step edge geometry (egnn.py:139-148), shared by all layers
-    cdiff = coord[:, None, :] - ca_j  # [N, K, 3]
-    radial = (cdiff**2).sum(-1)  # [N, K]
-    if normalize:
-        cdiff = cdiff / (jnp.sqrt(radial + 1e-8) + 1.0)[..., None]
-    tab = pack_edge_table(idx, edge_mask, bins, rp, cdiff, radial)
+    k = edge_mask.shape[1]
 
     for p in layers:
         w0 = p["edge_mlp"]["l0"]["w"]

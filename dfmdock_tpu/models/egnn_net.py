@@ -227,22 +227,34 @@ class EGNNNet:
             k_edges, jax.lax.stop_gradient(dist), node_mask,
             knn=c.knn, sample_size=c.sample_size,
         )
-        rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
         if use_pallas:
-            from dfmdock_tpu.models.egnn import egnn_apply_fused
-
-            (db, ob, tb, pb), ca_j = sixd_bins_at(
-                jax.lax.stop_gradient(pos), idx, return_ca_j=True
+            from dfmdock_tpu.models.egnn import (
+                build_edge_table_xla,
+                egnn_apply_fused,
             )
+
+            if c.edge_table_kernel:
+                from dfmdock_tpu.ops.edge_table import build_edge_table
+
+                tab = build_edge_table(
+                    idx, edge_mask, jax.lax.stop_gradient(pos),
+                    batch["res_id"], batch["asym_id"], normalize=c.normalize,
+                )
+            else:
+                tab = build_edge_table_xla(
+                    idx, edge_mask, jax.lax.stop_gradient(pos),
+                    batch["res_id"], batch["asym_id"], normalize=c.normalize,
+                )
             h, _ = egnn_apply_fused(
                 params["egnn"],
                 params["spatial_embed"]["w"],
                 params["positional_embed"]["w"],
-                h, ca, idx, edge_mask, (db, ob, tb, pb), rp, ca_j,
+                h, ca, tab, edge_mask,
                 node_mask, lig_valid,
-                normalize=c.normalize, dtype=self.dtype,
+                dtype=self.dtype,
             )
         else:
+            rp = relpos_bin_at(batch["res_id"], batch["asym_id"], idx)
             db, ob, tb, pb = sixd_bins_at(jax.lax.stop_gradient(pos), idx)
             edge_attr = spatial_embed_from_bins(
                 params["spatial_embed"]["w"], db, ob, tb, pb
