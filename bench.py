@@ -52,6 +52,46 @@ NUM_STEPS = 40
 POSE_COUNTS = (16, 40, 64, 120)
 HEADLINE_POSES = 40
 
+# Outage resilience (VERDICT r3 Missing #1): the axon TPU tunnel can be down
+# when the driver runs this — probe the backend in SUBPROCESSES (a failed
+# in-process init is cached by jax) and retry for a bounded window before
+# giving up with a structured error line.
+BACKEND_WAIT_TOTAL_S = 600
+BACKEND_PROBE_TIMEOUT_S = 330  # first device init can stall 3-5 min
+BACKEND_PROBE_INTERVAL_S = 45
+
+
+def wait_for_backend():
+    """Block until a jax backend initializes in a probe subprocess, retrying
+    through tunnel outages for <= BACKEND_WAIT_TOTAL_S.  Returns True if a
+    backend came up, False if the window expired."""
+    import subprocess
+
+    deadline = time.monotonic() + BACKEND_WAIT_TOTAL_S
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = deadline - time.monotonic()
+        if budget <= 0:
+            return False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True,
+                timeout=min(BACKEND_PROBE_TIMEOUT_S, max(budget, 30)),
+            )
+        except subprocess.TimeoutExpired:
+            r = None
+        if r is not None and r.returncode == 0:
+            print(f"# backend up ({r.stdout.strip()}) after {attempt} probe(s)",
+                  file=sys.stderr, flush=True)
+            return True
+        msg = (r.stderr.strip().splitlines() or ["timeout"])[-1] if r else "probe timeout"
+        print(f"# backend probe {attempt} failed: {msg[:200]}; retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(min(BACKEND_PROBE_INTERVAL_S, max(deadline - time.monotonic(), 0)))
+
 # compiled-Pallas vs XLA-f32 tolerance (max |diff| / max |ref|), worst case
 # over the full parity matrix.  The fused kernels run their big matmuls in
 # bf16 with f32 accumulation and 2-3-pass bf16-split dots on gate-sensitive
@@ -130,6 +170,11 @@ def pallas_parity_check(fast, slow, params, real_batch):
 
     worst = {name: 0.0 for name in PARITY_TOL}
     worst_case = {name: "" for name in PARITY_TOL}
+    # which criterion each (output, case) passed on — "rel", "abs", or
+    # "both" — so an abs-only escape on a normally rel-passing output is
+    # visible as a regression in the bench JSON (ADVICE r3)
+    criteria = {name: {"rel": 0, "abs_only": 0} for name in PARITY_TOL}
+    abs_only_at = {name: [] for name in PARITY_TOL}
     for label, batch in cases:
         for t in PARITY_T:
             b = dict(batch)
@@ -149,12 +194,19 @@ def pallas_parity_check(fast, slow, params, real_batch):
                 if rel > worst[name]:
                     worst[name] = rel
                     worst_case[name] = f"{label}@t={t} (abs {abs_err:.2e})"
+                if rel < tol:
+                    criteria[name]["rel"] += 1
+                else:
+                    criteria[name]["abs_only"] += 1
+                    abs_only_at[name].append(f"{label}@t={t}")
                 assert rel < tol or abs_err < PARITY_ABS[name], (
                     f"compiled Pallas parity FAILED at {label} t={t}: "
                     f"{name} max-rel {rel} >= {tol} AND abs {abs_err} >= "
                     f"{PARITY_ABS[name]}"
                 )
-    return {k: {"max_rel": round(v, 6), "at": worst_case[k]}
+    return {k: {"max_rel": round(v, 6), "at": worst_case[k],
+                "passed_on": criteria[k],
+                **({"abs_only_cases": abs_only_at[k]} if abs_only_at[k] else {})}
             for k, v in worst.items()}
 
 
@@ -287,6 +339,14 @@ def measure_torch_baseline():
 
 
 def main():
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": "denoising_steps_per_sec_per_chip",
+            "value": None, "unit": "steps/s", "vs_baseline": None,
+            "detail": {"error": "no jax backend came up within "
+                       f"{BACKEND_WAIT_TOTAL_S}s (TPU tunnel outage?)"},
+        }))
+        sys.exit(1)
     tpu = measure_tpu()
     try:
         baseline_sps = measure_torch_baseline()

@@ -190,10 +190,13 @@ def main(argv=None):
             from dfmdock_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh()
-            assert args.batch_size % len(mesh.devices.flat) == 0 or \
-                args.batch_size == 1, (
-                f"--batch-size {args.batch_size} should be a multiple of the "
-                f"{len(mesh.devices.flat)} devices for even dp sharding"
+            ndev = len(mesh.devices.flat)
+            # batch_size == 1 runs the unsharded single-complex path where
+            # dp would be silently inert (ADVICE r3) — reject it outright
+            assert args.batch_size > 1 and args.batch_size % ndev == 0, (
+                f"--dp requires --batch-size to be a multiple of the {ndev} "
+                f"devices (>1); got {args.batch_size}, whose path is "
+                f"single-device — drop --dp or raise --batch-size"
             )
             print(f"dp over {len(mesh.devices.flat)} devices, "
                   f"batch_size={args.batch_size}")

@@ -19,6 +19,13 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 _BIG = 1e30
 
+# Padded widths at which approx_max_k (TPU PartialReduce) is verified exact
+# vs lax.top_k (100% recall AND identical index order) on hardware — see
+# scripts/hw_parity.py's topk case.  At any other width we fall back to the
+# exact dual-tensor sort: recall < 1 would silently drop a true nearest
+# neighbour and corrupt the kth-distance threshold below (ADVICE r3 medium).
+_APPROX_TOPK_VERIFIED_WIDTHS = frozenset({128, 256, 448})
+
 
 def select_edges(
     key: jax.Array,
@@ -45,11 +52,12 @@ def select_edges(
 
     # top-k via approx_max_k: lowers to the TPU PartialReduce op, measured
     # 2.6x faster than lax.top_k's full dual-tensor sort at [40,448,448]
-    # (0.82 vs 2.13 ms/step) and bit-identical to it at DB5 widths (100%
-    # recall AND identical index order verified on 448-wide rows)
+    # (0.82 vs 2.13 ms/step) and bit-identical to it at the verified widths;
+    # unverified widths take the exact path (ADVICE r3 medium)
     top_k = lambda x, k: (
-        jax.lax.top_k(x, k) if k == 0  # approx_max_k rejects k=0
-        else jax.lax.approx_max_k(x, k, recall_target=0.9999)
+        jax.lax.approx_max_k(x, k, recall_target=0.9999)
+        if k > 0 and n_tot in _APPROX_TOPK_VERIFIED_WIDTHS
+        else jax.lax.top_k(x, k)  # approx_max_k rejects k=0
     )
 
     # nearest neighbours (self included: d(i,i)=0 tops the list)

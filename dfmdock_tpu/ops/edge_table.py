@@ -17,10 +17,16 @@ tuples of [1, E] rows, so cross products / dots / norms are plain row-wise
 VPU ops with no reshapes, no minor-dim-1 tensors, and nothing for the
 layout checker to reject; the node gathers are the same stacked one-hot
 matmuls the layer kernels use ([16, N] @ [N, E] with a 3-term bf16 split,
-exact to ~2^-27 — ops/gather.py's trick, so bin boundaries cannot flip).
+exact to ~2^-27 — ops/gather.py's trick, so the gather itself cannot flip a
+bin).
 
 atan2/arccos are not lowered by Mosaic; the minimax arctan polynomial
 (max err ~2e-7 rad, ~1e-5 deg — angle bins are 15 deg wide) provides them.
+NOTE on exactness: bin boundaries come from the same jnp.linspace
+computation as features/sixd._get_bins (bit-identical constants), but the
+polynomial trig means an angle within ~1e-5 deg of a boundary can land one
+bin off vs the XLA path — measure-zero on real geometry, and parity-gated
+per-row in tests/test_edge_table.py and scripts/hw_parity.py.
 """
 from __future__ import annotations
 
@@ -153,13 +159,25 @@ def _acos(z):
     return _atan2(jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0)), z)
 
 
+@functools.lru_cache(maxsize=None)
+def _boundaries(lo, hi, nb):
+    """The exact f32 boundary values features/sixd._get_bins compares
+    against: the same jnp.linspace computation, evaluated once on the CPU
+    backend (f32 IEEE add/mul/div — backend-independent), so the kernel's
+    static comparisons use bit-identical constants (ADVICE r3)."""
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return tuple(
+            np.asarray(jnp.linspace(lo, hi, nb - 1), np.float32).tolist()
+        )
+
+
 def _bins_row(x, lo, hi, nb):
     """sum(x > linspace(lo, hi, nb-1)) as nb-1 static comparisons on [1, E]
     (boundary constants fold at trace time; features/sixd._get_bins
     semantics — NaN-free inputs here, degenerate edges are mask-zeroed)."""
     out = jnp.zeros_like(x)
-    for b in np.linspace(lo, hi, nb - 1, dtype=np.float32):
-        out = out + (x > float(b)).astype(jnp.float32)
+    for b in _boundaries(lo, hi, nb):
+        out = out + (x > b).astype(jnp.float32)
     return out
 
 

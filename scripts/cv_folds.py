@@ -78,8 +78,18 @@ def train_fold(i, holdout, epochs):
         done_epoch, ckpt = saved[-1]
         remaining = epochs - (done_epoch + 1)
         if remaining <= 0:
-            print(f"fold{i}: epoch ckpt >= target; promoting to last", flush=True)
-            cmd += ["--epochs", "1", "--resume", ckpt]
+            # promote WITHOUT extra training (ADVICE r3: the old path
+            # trained 1 more epoch past the stated recipe): the epoch
+            # checkpoint already holds the final params — copy it.
+            print(f"fold{i}: epoch ckpt >= target; promoting {ckpt} to last",
+                  flush=True)
+            import shutil
+
+            shutil.copytree(ckpt, os.path.join(fold_dir, "last"))
+            with open(os.path.join(fold_dir, "EPOCHS.txt"), "w") as f:
+                f.write(f"trained_epochs={done_epoch + 1}\n"
+                        f"promoted_from=epoch{done_epoch}\n")
+            return 0
         else:
             print(f"fold{i}: resuming from {ckpt} ({remaining} epochs left)",
                   flush=True)
