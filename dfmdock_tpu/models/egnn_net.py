@@ -161,11 +161,40 @@ class EGNNNet:
         if predict:
             energy, aux = core(pos)
             dedx = None
+            h, f, conf_logits, dist_loss, D, pair_valid = aux
         else:
-            (energy, aux), grads = jax.value_and_grad(core, has_aux=True)(pos)
-            dedx = -grads[:, 1, :] * lig_valid[:, None]
+            # dedx = -dE/d(pos), restructured like score_net.apply (r4):
+            # backbone VJP (EGNN stack + pairwise dist; the heads scan gets
+            # ZERO cotangents, its transpose residuals bounded by the remat
+            # body) + an explicit scan-of-grad for dE/dh and dE/ddist whose
+            # body takes the per-chunk first-order VJP inside jax.checkpoint
+            # — the second-order training backward then recomputes one
+            # [chunk, N, C] block at a time instead of stacking them all
+            # (NOTES.md r3: B=8 OOM, inner transposed-dedx scan residuals).
+            def backbone(pos_in):
+                _, aux_in = self._core(
+                    params, batch, x, pos_in, node_mask, lig_mask, t,
+                    k_edges, gt_dist, skip_heads=False, use_pallas=False,
+                    skip_energy=True, remat=True,
+                )
+                return aux_in
 
-        h, f, conf_logits, dist_loss, D, pair_valid = aux
+            aux, vjp_bb = jax.vjp(backbone, pos)
+            h, f, conf_logits, dist_loss, D, pair_valid = aux
+            energy_mask = pair_valid * (D < c.cut_off)
+            energy, dE_dh, dE_ddist = self._energy_and_grads(
+                params["to_energy"], h, D, energy_mask
+            )
+            cotangents = (
+                dE_dh,
+                jnp.zeros_like(f),
+                jnp.zeros_like(conf_logits),
+                jnp.zeros_like(dist_loss),
+                dE_ddist,
+                jnp.zeros_like(pair_valid),
+            )
+            (dpos,) = vjp_bb(cotangents)
+            dedx = -dpos[:, 1, :] * lig_valid[:, None]
 
         ires = None if scores_only else self._ires(params["to_ires"], h)
 
@@ -207,7 +236,8 @@ class EGNNNet:
     # ------------------------------------------------------------- internals
 
     def _core(self, params, batch, x, pos, node_mask, lig_mask, t, k_edges,
-              gt_dist, skip_heads=False, use_pallas=False):
+              gt_dist, skip_heads=False, use_pallas=False, skip_energy=False,
+              remat=False):
         c = self.cfg
         valid = node_mask.astype(jnp.float32)
         lig_valid = lig_mask * valid
@@ -300,12 +330,13 @@ class EGNNNet:
             ca_c, d_c, em_c, pv_c = inp
 
             if not skip_heads:
-                e = _pair_head(
-                    params["to_energy"],
-                    _rows(eh_i, i0, chunk)[:, None] + eh_j[None, :], d_c
-                ).squeeze(-1)
-                e_num = e_num + (e * em_c).sum()
-                e_den = e_den + em_c.sum()
+                if not skip_energy:
+                    e = _pair_head(
+                        params["to_energy"],
+                        _rows(eh_i, i0, chunk)[:, None] + eh_j[None, :], d_c
+                    ).squeeze(-1)
+                    e_num = e_num + (e * em_c).sum()
+                    e_den = e_den + em_c.sum()
 
                 cl = _pair_head(
                     params["to_confidence"],
@@ -340,8 +371,12 @@ class EGNNNet:
 
         zero = jnp.float32(0.0)
         init = (zero, zero, zero, zero, jnp.zeros((n, 3)), zero, zero, jnp.int32(0))
+        # remat IN THE DEDX/TRAINING PATH ONLY (predict-mode HLO and its
+        # compile-cache entries unchanged): without it the scan backward
+        # stacks every chunk's [chunk, N, C] head residuals
+        step = jax.checkpoint(body) if remat else body
         (e_num, e_den, c_num, c_den, f_acc, d_num, d_den, _), _ = jax.lax.scan(
-            body, init, (ca_r, dist_r, emask_r, pvalid_r)
+            step, init, (ca_r, dist_r, emask_r, pvalid_r)
         )
 
         if c.agg == "mean":
@@ -356,6 +391,55 @@ class EGNNNet:
         dist_loss = d_num / jnp.maximum(d_den, 1.0)
 
         return energy, (h, f, conf_logits, dist_loss, dist, pair_valid)
+
+    def _energy_and_grads(self, p, h, dist, energy_mask):
+        """Energy (same masked aggregate as _core's scan) AND its gradients
+        w.r.t. h and dist, via a scan-of-grad with a rematted body: the
+        per-chunk VJP happens inside jax.checkpoint, so second-order
+        differentiation (training loss through dedx) recomputes one
+        [chunk, N, C] pair block at a time (mirror of
+        score_net._energy_and_grad_h; reference autograd DFMDock.py /
+        egnn_net.py:417-438)."""
+        c = self.cfg
+        n = h.shape[0]
+        w = p["l0"]["w"]  # [2C+1, C]: h_i / h_j halves + distance row
+        eh_i = h @ w[: c.node_dim]
+        eh_j = h @ w[c.node_dim : 2 * c.node_dim]
+
+        chunk = min(ROW_CHUNK, n)
+        assert n % chunk == 0
+        ehi_r = eh_i.reshape(n // chunk, chunk, c.node_dim)
+        dist_r = dist.reshape(n // chunk, chunk, n)
+        emask_r = energy_mask.reshape(n // chunk, chunk, n)
+
+        def chunk_num(ehi_c, ehj, d_c, em_c):
+            e = _pair_head(p, ehi_c[:, None] + ehj[None, :], d_c).squeeze(-1)
+            return (e * em_c).sum()
+
+        def body(g_ehj_acc, inp):
+            ehi_c, d_c, em_c = inp
+            num_c, (g_ehi_c, g_ehj_c, g_d_c) = jax.value_and_grad(
+                chunk_num, argnums=(0, 1, 2)
+            )(ehi_c, eh_j, d_c, em_c)
+            return (g_ehj_acc + g_ehj_c.astype(jnp.float32),
+                    (num_c, g_ehi_c, g_d_c))
+
+        g_ehj, (nums, g_ehi_chunks, g_d_chunks) = jax.lax.scan(
+            jax.checkpoint(body),
+            jnp.zeros((n, c.node_dim), jnp.float32),
+            (ehi_r, dist_r, emask_r),
+        )
+        e_num = nums.sum()
+        if c.agg == "mean":
+            den = jnp.maximum(energy_mask.sum(), 1.0)
+        else:
+            den = jnp.float32(1.0)
+        energy = e_num / den
+        g_ehi = g_ehi_chunks.reshape(n, c.node_dim).astype(jnp.float32) / den
+        g_ehj = g_ehj / den
+        dE_dh = g_ehi @ w[: c.node_dim].T + g_ehj @ w[c.node_dim : 2 * c.node_dim].T
+        dE_ddist = g_d_chunks.reshape(n, n).astype(jnp.float32) / den
+        return energy, dE_dh, dE_ddist
 
     def _ires(self, p, h):
         y = jax.nn.silu(nn.linear(p["l0"], h))

@@ -161,13 +161,46 @@ class ScoreNet:
         if predict:
             energy, aux = core(pos)
             dedx = None
+            h, coord_out, pos_ca, D, pair_valid = aux
         else:
             # dedx = -dE/d(pos); only ligand CA rows are kept, matching the
-            # reference autograd w.r.t. lig_pos (score_net_mlsb.py:428-438)
-            (energy, aux), grads = jax.value_and_grad(core, has_aux=True)(pos)
-            dedx = -grads[:, 1, :] * lig_valid[:, None]
+            # reference autograd w.r.t. lig_pos (score_net_mlsb.py:428-438).
+            #
+            # Restructured (round 4, NOTES.md B=8 OOM): instead of
+            # jax.grad(core) — whose transposed energy-head scan stacks
+            # [n/chunk, chunk, N, C] pair residuals when the training loss
+            # differentiates through dedx (second order) — split the chain
+            # rule explicitly:
+            #   backbone: pos -> h (+ heads aux), one VJP, [N,C]-scale
+            #             residuals only;
+            #   energy head: dE/dh from a scan whose body computes the
+            #             per-chunk grad INSIDE a jax.checkpoint, so the
+            #             second-order pass recomputes one [chunk,N,C] pair
+            #             block at a time instead of stacking all of them.
+            # energy's dependence on pos through pair_mask (dist < cutoff
+            # comparisons) has zero gradient a.e., same as the jax.grad path.
+            def backbone(pos_in):
+                _, aux_in = self._core(
+                    params, batch, x, pos_in, node_mask, lig_mask, t,
+                    k_edges, k_drop, train, use_pallas, skip_energy=True
+                )
+                return aux_in
 
-        h, coord_out, pos_ca, D, pair_valid = aux
+            aux, vjp_bb = jax.vjp(backbone, pos)
+            h, coord_out, pos_ca, D, pair_valid = aux
+            pair_mask = pair_valid * (D < c.cut_off)
+            energy, dE_dh = self._energy_and_grad_h(
+                params["to_energy"], h, pair_mask
+            )
+            cotangents = (
+                dE_dh,
+                jnp.zeros_like(coord_out),
+                jnp.zeros_like(pos_ca),
+                jnp.zeros_like(D),
+                jnp.zeros_like(pair_valid),
+            )
+            (dpos,) = vjp_bb(cotangents)
+            dedx = -dpos[:, 1, :] * lig_valid[:, None]
 
         # interface-residue head
         ires = None if scores_only else self._ires(params["to_ires"], h)
@@ -324,6 +357,51 @@ class ScoreNet:
             step, (jnp.float32(0.0), jnp.float32(0.0)), (hr_chunks, mask_chunks)
         )
         return num / (den + 1e-6)
+
+    def _energy_and_grad_h(self, p, h, pair_mask):
+        """Energy (same masked mean as _energy) AND dE/dh, via an explicit
+        scan-of-grad: each row chunk's first-order VJP is taken INSIDE the
+        rematted scan body, so when the training loss differentiates through
+        dedx (second order) the backward recomputes one [chunk, N, C] pair
+        block at a time instead of stacking [n/chunk, chunk, N, C] residuals
+        across the scan — the B=8 OOM / 37.5 steps/s cap of NOTES.md r3."""
+        n = h.shape[0]
+        c = self.cfg.node_dim
+        w = p["l0"]["w"]  # [2C, C]: h_i / h_j halves
+        hr = nn.linear({"w": w[:c]}, h, self.dtype)
+        hl = nn.linear({"w": w[c:]}, h, self.dtype)
+
+        chunk = min(ENERGY_ROW_CHUNK, n)
+        assert n % chunk == 0, f"padded N={n} must be a multiple of {chunk}"
+        hr_chunks = hr.reshape(n // chunk, chunk, c)
+        mask_chunks = pair_mask.reshape(n // chunk, chunk, n)
+
+        def chunk_num(hr_c, hl_in, m_c):
+            pair = hr_c[:, None, :] + hl_in[None, :, :]  # [chunk, N, C]
+            e = nn.layer_norm(p["ln"], pair)
+            e = jax.nn.silu(e)
+            e = nn.linear(p["l1"], e, self.dtype).squeeze(-1)
+            return (e * m_c).sum()
+
+        def body(g_hl_acc, inp):
+            hr_c, m_c = inp
+            num_c, (g_hr_c, g_hl_c) = jax.value_and_grad(
+                chunk_num, argnums=(0, 1)
+            )(hr_c, hl, m_c)
+            return g_hl_acc + g_hl_c.astype(jnp.float32), (num_c, g_hr_c)
+
+        g_hl, (nums, g_hr_chunks) = jax.lax.scan(
+            jax.checkpoint(body),
+            jnp.zeros((n, c), jnp.float32),
+            (hr_chunks, mask_chunks),
+        )
+        den = pair_mask.sum() + 1e-6
+        energy = nums.sum() / den
+        g_hr = g_hr_chunks.reshape(n, c).astype(jnp.float32) / den
+        g_hl = g_hl / den
+        # back through the two half-linears (hr = h @ w[:C], hl = h @ w[C:])
+        dE_dh = g_hr @ w[:c].T + g_hl @ w[c:].T
+        return energy, dE_dh
 
     def _ires(self, p, h):
         y = jax.nn.silu(nn.linear(p["l0"], h))
