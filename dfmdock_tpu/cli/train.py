@@ -106,6 +106,13 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     ap.add_argument("--save-every", type=int, default=0,
                     help="checkpoint every N epochs (0 = only 'last' at the end)")
+    ap.add_argument("--contrastive-weight", type=float, default=1.0)
+    ap.add_argument("--contrastive-margin", type=float, default=0.0)
+    ap.add_argument("--contrastive-t-max", type=float, default=0.0,
+                    help="> 0: build contrastive negatives at a separate "
+                         "t_c ~ U(eps, t_max) (hard near-native negatives)")
+    ap.add_argument("--contrastive-negatives", type=int, default=1,
+                    help="> 1: K negatives, InfoNCE instead of softplus")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--metrics-json", default=None, help="append per-log-step JSONL here")
@@ -117,6 +124,10 @@ def main(argv=None):
             lr=args.lr,
             grad_energy=args.grad_energy,
             use_contrastive_loss=args.use_contrastive_loss,
+            contrastive_weight=args.contrastive_weight,
+            contrastive_margin=args.contrastive_margin,
+            contrastive_t_max=args.contrastive_t_max,
+            contrastive_negatives=args.contrastive_negatives,
             use_confidence_loss=args.use_confidence_loss,
             use_dist_loss=args.use_dist_loss,
             use_interface_loss=not args.no_interface_loss,

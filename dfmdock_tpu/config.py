@@ -90,6 +90,17 @@ class ExperimentConfig:
     use_interface_loss: bool = True
     grad_energy: bool = False
     use_contrastive_loss: bool = False
+    # contrastive-ranking knobs (round 4, VERDICT r3 #3).  Defaults keep the
+    # reference construction (score_model_mlsb.py:177-185): weight 1, no
+    # margin, the pair = gt vs THE score-matching noised pose at the shared t.
+    contrastive_weight: float = 1.0
+    contrastive_margin: float = 0.0
+    # > 0: draw a SEPARATE t_c ~ U(eps, contrastive_t_max) and build the
+    # negative(s) at t_c — small values make hard near-native negatives,
+    # matching the regime where min-energy ranking actually operates
+    contrastive_t_max: float = 0.0
+    # > 1: K independent negatives at t_c, InfoNCE log(1 + sum exp(E_gt-E_i))
+    contrastive_negatives: int = 1
     # DFMDock-lineage extras (reference configs/model/DFMDock.yaml:39-52)
     crop_size: int = 1200
     use_confidence_loss: bool = False

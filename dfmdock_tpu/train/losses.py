@@ -156,14 +156,52 @@ def loss_fn(params, net, r3, so3, batch, key, exp: ExperimentConfig, injected=No
     else:
         ires_loss = jnp.float32(0.0)
 
-    # contrastive energy: gt complex should have lower energy than the noised
-    # one; CE over [-E_gt, -E_noised] with target 0 == softplus(E_gt - E_noised)
-    # (score_model_mlsb.py:177-185)
+    # contrastive energy: gt complex should have lower energy than noised
+    # pose(s); CE over [-E_gt, -E_1..-E_K] with target 0 — for K=1 this is
+    # softplus(E_gt - E_noised) (score_model_mlsb.py:177-185).  Round-4
+    # knobs (VERDICT r3 #3): weight/margin, a separate small-t_c negative
+    # construction (hard near-native negatives), and K>1 negatives
+    # (InfoNCE); defaults reproduce the reference construction exactly.
     if exp.use_contrastive_loss:
-        gt_batch = dict(batch)
-        gt_batch["t"] = t
-        energy_gt = net.apply(params, gt_batch, k_net_gt, return_energy=True, train=True)
-        el_loss = jax.nn.softplus(energy_gt - energy_noised)
+        margin = jnp.float32(exp.contrastive_margin)
+        own_pair = exp.contrastive_t_max > 0.0 or exp.contrastive_negatives > 1
+        if not own_pair:
+            gt_batch = dict(batch)
+            gt_batch["t"] = t
+            energy_gt = net.apply(params, gt_batch, k_net_gt,
+                                  return_energy=True, train=True)
+            el_loss = jax.nn.softplus(energy_gt - energy_noised + margin)
+        else:
+            k_tc = jax.random.fold_in(k_net_gt, 777)
+            if exp.contrastive_t_max > 0.0:
+                t_c = (_EPS_T + jax.random.uniform(k_tc)
+                       * (exp.contrastive_t_max - _EPS_T))
+            else:
+                t_c = t
+            gt_batch = dict(batch)
+            gt_batch["t"] = t_c
+            energy_gt = net.apply(
+                params, gt_batch, jax.random.fold_in(k_net_gt, 0),
+                return_energy=True, train=True)
+            gaps = []
+            for i in range(exp.contrastive_negatives):
+                k_i = jax.random.fold_in(k_net_gt, 1 + i)
+                k_tr_i, k_rot_i, k_e_i = jax.random.split(k_i, 3)
+                tr_i, _ = r3.forward_marginal(k_tr_i, t_c)
+                rot_i, _ = so3.forward_marginal(k_rot_i, t_c)
+                neg = dict(batch)
+                neg["pos"] = modify_coords(gt_pos, batch["lig_mask"],
+                                           rot_i, tr_i)
+                neg["t"] = t_c
+                e_i = net.apply(params, neg, k_e_i, return_energy=True,
+                                train=True)
+                gaps.append(energy_gt - e_i + margin)
+            # log(1 + sum_i exp(gap_i)): K=1 -> softplus(gap); stabilized
+            # with the max trick (gaps can be large early in training)
+            g = jnp.stack(gaps)
+            m = jnp.maximum(g.max(), 0.0)
+            el_loss = m + jnp.log(jnp.exp(-m) + jnp.exp(g - m).sum())
+        el_loss = el_loss * jnp.float32(exp.contrastive_weight)
     else:
         el_loss = jnp.float32(0.0)
 

