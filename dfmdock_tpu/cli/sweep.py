@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--use-clash-force", action="store_true")
     ap.add_argument("--gt-energy", action="store_true",
                     help="evaluate the ground-truth pose energy only")
+    ap.add_argument("--energy-draws", type=int, default=1,
+                    help="> 1: replace each pose's ranking energy with the "
+                         "mean over K independent edge-sampling draws "
+                         "(denoises the stochastic-graph energy estimate; "
+                         "the reference scores one draw, inference.py:533)")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--ids", default=None,
                     help="comma-separated complex ids to run (e.g. a held-out split)")
@@ -121,6 +126,15 @@ def main(argv=None):
                 sampler, params, raw, sub, args.num_samples, native=native,
                 pad_to=round_up(n, args.bucket), run_fn=run_fn,
             )
+            if args.energy_draws > 1:
+                e = _multi_draw_energy(
+                    net, params, raw, results["pos"],
+                    round_up(n, args.bucket), args.energy_draws, args.seed,
+                    t_eval=cfg.sampler.eps,
+                )
+                for i, r in enumerate(recs):
+                    r["energy_first_draw"] = r["energy"]
+                    r["energy"] = float(e[i])
             rows.extend(recs)
             pos = np.asarray(results["pos"])
             if args.out_pdb_dir:
@@ -154,6 +168,41 @@ def main(argv=None):
 
     _write(args.out_csv, rows)
     print(f"wrote {args.out_csv} ({len(rows)} rows)")
+
+
+_SCORERS = {}
+
+
+def _multi_draw_energy(net, params, raw, pos_all, pad_to, k_draws, seed,
+                       t_eval=1e-3):
+    """Mean terminal energy over k independent edge-sampling draws, vmapped
+    over poses.  The per-pose energy is a masked mean over ONE stochastic
+    sparse-graph draw; averaging draws denoises the ranking signal without
+    touching sampling (one executable per bucket size; t_eval matches the
+    sampler's terminal step)."""
+    batch = {k: jnp.asarray(v)
+             for k, v in complex_to_batch(raw, pad_to=pad_to).items()}
+
+    if id(net) not in _SCORERS:
+        def score_one(params_, batch_, pos_p, t, key):
+            b = dict(batch_)
+            b["pos"] = pos_p
+            b["t"] = t
+            return net.apply(params_, b, key, predict=True)["energy"]
+
+        _SCORERS[id(net)] = jax.jit(
+            jax.vmap(score_one, in_axes=(None, None, 0, None, 0)))
+    scorer = _SCORERS[id(net)]
+
+    p_count = pos_all.shape[0]
+    acc = np.zeros(p_count, np.float64)
+    t_dev = jnp.float32(t_eval)
+    for kk in range(k_draws):
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(seed + 99), kk), p_count)
+        acc += np.asarray(scorer(params, batch, pos_all, t_dev, keys),
+                          np.float64)
+    return acc / k_draws
 
 
 def _write(path, rows):

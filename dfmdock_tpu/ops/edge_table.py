@@ -165,7 +165,11 @@ def _boundaries(lo, hi, nb):
     against: the same jnp.linspace computation, evaluated once on the CPU
     backend (f32 IEEE add/mul/div — backend-independent), so the kernel's
     static comparisons use bit-identical constants (ADVICE r3)."""
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    # ensure_compile_time_eval: this helper is called during the pallas
+    # kernel trace, where a bare jnp.linspace would become a tracer
+    with jax.ensure_compile_time_eval(), jax.default_device(
+        jax.local_devices(backend="cpu")[0]
+    ):
         return tuple(
             np.asarray(jnp.linspace(lo, hi, nb - 1), np.float32).tolist()
         )

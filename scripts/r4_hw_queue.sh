@@ -29,6 +29,11 @@ for i in $(seq 1 200); do
     timeout 3000 python bench.py > /tmp/r4_bench.json 2>/tmp/r4_bench.log
     say "bench exit=$?"
 
+    say "step 3b: train_bench B sweep (dedx restructure validation)"
+    timeout 3600 python scripts/train_bench.py --epochs 50 --batches 1,4,8 \
+      --json-out /tmp/r4_train_bench.json > /tmp/r4_train_bench.log 2>&1
+    say "train_bench exit=$?"
+
     for f in 0 1 2 3; do
       say "step 4: ranking_experiments fold $f"
       timeout 5400 python scripts/ranking_experiments.py --fold $f --resume \
