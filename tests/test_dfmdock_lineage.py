@@ -140,6 +140,29 @@ def test_dedx_finite_difference(net_and_params):
     np.testing.assert_allclose(-dedx[row, dim], fd, rtol=5e-2, atol=1e-4)
 
 
+def test_dedx_matches_direct_autodiff(net_and_params):
+    """Round-4 restructured dedx (backbone-VJP + scan-of-grad with the
+    dist-feature gradient, egnn_net.apply) vs straight jax.grad of the
+    energy — must agree to fp accumulation noise."""
+    net, params = net_and_params
+    raw = make_complex(24, 16)
+    batch = to_jnp(pad_complex(*raw))
+    key = jax.random.PRNGKey(4)
+    out = net.apply(params, batch, key, predict=False)
+    dedx = np.asarray(out["dedx"])
+
+    def energy_of(pos):
+        b = dict(batch)
+        b["pos"] = pos
+        return net.apply(params, b, key, return_energy=True)
+
+    grads = jax.grad(energy_of)(batch["pos"])
+    lig_valid = np.asarray(
+        batch["lig_mask"] * batch["node_mask"].astype(jnp.float32))
+    direct = -np.asarray(grads)[:, 1, :] * lig_valid[:, None]
+    np.testing.assert_allclose(dedx, direct, rtol=1e-4, atol=1e-6)
+
+
 def test_dfmdock_loss_terms(net_and_params):
     net, params = net_and_params
     r3 = R3Diffuser(R3Config())

@@ -234,6 +234,29 @@ def test_dedx_matches_finite_difference(net_and_params):
     np.testing.assert_allclose(got, fd, rtol=5e-2, atol=1e-4)
 
 
+def test_dedx_matches_direct_autodiff(net_and_params):
+    """The round-4 restructured dedx (backbone-VJP + scan-of-grad energy
+    head, score_net.apply) must equal the straight jax.grad of the energy
+    w.r.t. pos — same keys, same math, different factorization — to fp
+    accumulation noise (the FD test above is 5e-2-loose; this pins
+    equivalence tight)."""
+    net, params = net_and_params
+    batch = to_jnp(pad_complex(*make_complex(24, 16)))
+    key = jax.random.PRNGKey(8)
+    out = net.apply(params, batch, key, predict=False)
+    dedx = np.asarray(out["dedx"])
+
+    def energy_of(pos):
+        b = dict(batch)
+        b["pos"] = pos
+        return net.apply(params, b, key, return_energy=True)
+
+    grads = jax.grad(energy_of)(batch["pos"])
+    lig_valid = np.asarray(batch["lig_mask"] * batch["node_mask"])
+    direct = -np.asarray(grads)[:, 1, :] * lig_valid[:, None]
+    np.testing.assert_allclose(dedx, direct, rtol=1e-4, atol=1e-6)
+
+
 def test_num_clashes(net_and_params):
     net, params = net_and_params
     raw = make_complex(30, 18)
