@@ -133,9 +133,25 @@ def main(argv=None):
     rows = load_rows(paths)
     if not rows:
         sys.exit(f"no rows found in {paths}")
-    per = analyze(rows, args.energy_key)
-    agg = summarize(per)
-    text = render(per, agg, args.title)
+    if args.energy_key == "all":
+        # one summary line per energy_* column (H1/H2 comparison readout)
+        some = next(iter(rows.values()))[0]
+        keys = ["energy"] + sorted(
+            k for k in some if k.startswith("energy_t"))
+        lines = [f"# {args.title} — signal comparison", "",
+                 "| key | mean rho(E,DockQ) | %neg | top1 | random | best |",
+                 "|---|---|---|---|---|---|"]
+        for ek in keys:
+            agg = summarize(analyze(rows, ek))
+            lines.append(
+                f"| {ek} | {agg['rho_dockq']:+.3f} | "
+                f"{agg['frac_rho_dockq_neg']:.0%} | {agg['top1']:.3f} | "
+                f"{agg['random']:.3f} | {agg['best']:.3f} |")
+        text = "\n".join(lines) + "\n"
+    else:
+        per = analyze(rows, args.energy_key)
+        agg = summarize(per)
+        text = render(per, agg, args.title)
     print(text)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
