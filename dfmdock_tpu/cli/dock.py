@@ -102,6 +102,10 @@ def main(argv=None):
                     help="skip ESM (model must be trained without it)")
     ap.add_argument("--esm-backend", choices=["auto", "jax", "hf"], default="auto",
                     help="'jax' = pure-JAX ESM2 on TPU; 'hf' = torch CPU")
+    ap.add_argument("--energy-draws", type=int, default=1,
+                    help="> 1: rank by the mean energy over K independent "
+                         "edge-sampling draws (denoised ranking; the "
+                         "reference scores one draw)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--write-all-poses", action="store_true")
     ap.add_argument("--exact", action="store_true",
@@ -166,9 +170,21 @@ def main(argv=None):
             sampler, params, job, sub, args.num_samples, native=native,
             run_fn=run_fn,
         )
-        all_rows.extend(rows)
+        if args.energy_draws > 1:
+            from dfmdock_tpu.cli.sweep import _multi_draw_energy
 
-        best = int(EMSampler.rank_by_energy(results))
+            e = _multi_draw_energy(
+                net, params, job, results["pos"],
+                int(results["pos"].shape[1]), args.energy_draws, args.seed,
+                t_eval=cfg.sampler.eps,
+            )
+            for i, r in enumerate(rows):
+                r["energy_first_draw"] = r["energy"]
+                r["energy"] = float(e[i])
+            best = int(np.argmin(e))
+        else:
+            best = int(EMSampler.rank_by_energy(results))
+        all_rows.extend(rows)
         pos = np.asarray(results["pos"])
         indices = range(args.num_samples) if args.write_all_poses else [best]
         for i in indices:

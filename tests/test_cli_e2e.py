@@ -29,6 +29,24 @@ def test_cli_sweep_end_to_end_and_resume(tmp_path):
     assert _read(out) == rows
 
 
+def test_cli_sweep_energy_draws(tmp_path):
+    """--energy-draws K replaces the ranking energy with a K-draw mean and
+    keeps the single-draw value in energy_first_draw."""
+    from dfmdock_tpu.cli.sweep import main
+
+    out = tmp_path / "sweep_ed.csv"
+    main([
+        "--ids", "7CEI", "--num-samples", "2", "--num-steps", "2",
+        "--exact", "--out-csv", str(out), "--seed", "1",
+        "--energy-draws", "3",
+    ])
+    rows = _read(out)
+    assert len(rows) == 2
+    assert "energy_first_draw" in rows[0]
+    for r in rows:
+        assert r["energy"] != "" and r["energy_first_draw"] != ""
+
+
 def test_cli_sweep_ids_beat_limit(tmp_path):
     """--ids must filter the FULL dataset before --limit truncates: 7CEI is
     alphabetically last, so applying the limit first would silently drop it
