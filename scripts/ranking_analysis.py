@@ -55,13 +55,34 @@ def spearman(x, y):
     return float(((rx - rx.mean()) * (ry - ry.mean())).mean() / (sx * sy))
 
 
-def load_rows(paths):
+def load_rows(paths, include_gt=False):
+    """Per-complex pose rows.  Rows with index == 'gt' are the native-pose
+    energy probes ranking_experiments appends — excluded from ranking stats
+    unless include_gt (see gt_margins)."""
     rows = defaultdict(list)
     for p in paths:
         with open(p) as f:
             for r in csv.DictReader(f):
+                if not include_gt and r.get("index") == "gt":
+                    continue
                 rows[r["id"]].append(r)
     return rows
+
+
+def gt_margins(paths, energy_key):
+    """Per-complex (E_gt - min E_decoy) for one energy column; negative =
+    the native outranks every decoy (healthy)."""
+    all_rows = load_rows(paths, include_gt=True)
+    out = {}
+    for cid, rs in all_rows.items():
+        gt = [r for r in rs if r.get("index") == "gt"]
+        dec = [r for r in rs if r.get("index") != "gt"]
+        if not gt or not dec or energy_key not in gt[0] or not gt[0][energy_key]:
+            continue
+        e_gt = float(gt[0][energy_key])
+        e_min = min(float(r[energy_key]) for r in dec if r.get(energy_key))
+        out[cid] = e_gt - e_min
+    return out
 
 
 def analyze(rows, energy_key="energy"):
@@ -139,14 +160,22 @@ def main(argv=None):
         keys = ["energy"] + sorted(
             k for k in some if k.startswith("energy_t"))
         lines = [f"# {args.title} — signal comparison", "",
-                 "| key | mean rho(E,DockQ) | %neg | top1 | random | best |",
-                 "|---|---|---|---|---|---|"]
+                 "| key | mean rho(E,DockQ) | %neg | top1 | random | best |"
+                 " gt<all decoys | mean margin |",
+                 "|---|---|---|---|---|---|---|---|"]
         for ek in keys:
             agg = summarize(analyze(rows, ek))
+            m = gt_margins(paths, ek)
+            if m:
+                vals = list(m.values())
+                gt_cols = (f" {sum(v < 0 for v in vals)}/{len(vals)} | "
+                           f"{sum(vals) / len(vals):+.2f} |")
+            else:
+                gt_cols = " — | — |"
             lines.append(
                 f"| {ek} | {agg['rho_dockq']:+.3f} | "
                 f"{agg['frac_rho_dockq_neg']:.0%} | {agg['top1']:.3f} | "
-                f"{agg['random']:.3f} | {agg['best']:.3f} |")
+                f"{agg['random']:.3f} | {agg['best']:.3f} |" + gt_cols)
         text = "\n".join(lines) + "\n"
     else:
         per = analyze(rows, args.energy_key)

@@ -126,8 +126,15 @@ def main(argv=None):
 
         batch = {k_: jnp.asarray(v)
                  for k_, v in complex_to_batch(raw, pad_to=pad_to).items()}
-        pos_all = results["pos"]  # [P, N_pad, 3, 3] device array
-        P = args.num_samples
+        # append the NATIVE pose as one extra row so every energy column is
+        # also evaluated on it (GT-vs-decoy margin, scripts/gt_margin_probe)
+        pos_all = jnp.concatenate(
+            [results["pos"], batch["pos"][None]], axis=0)
+        P = args.num_samples + 1
+        gt_rec = {"id": cid, "index": "gt", "DockQ": 1.0, "c_rmsd": 0.0,
+                  "i_rmsd": 0.0, "l_rmsd": 0.0, "fnat": 1.0,
+                  "energy": "", "num_clashes": ""}
+        recs = recs + [gt_rec]
 
         for ti, t in enumerate(t_list):
             t_dev = jnp.float32(t)
