@@ -106,6 +106,9 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     ap.add_argument("--save-every", type=int, default=0,
                     help="checkpoint every N epochs (0 = only 'last' at the end)")
+    ap.add_argument("--weight-decay", type=float, default=0.0,
+                    help="adamw weight decay (reference trains with 0; the "
+                         "held-out energy surface overfits — see NOTES r4)")
     ap.add_argument("--contrastive-weight", type=float, default=1.0)
     ap.add_argument("--contrastive-margin", type=float, default=0.0)
     ap.add_argument("--contrastive-t-max", type=float, default=0.0,
@@ -122,6 +125,7 @@ def main(argv=None):
         model=ModelConfig(compute_dtype=args.compute_dtype),
         experiment=ExperimentConfig(
             lr=args.lr,
+            weight_decay=args.weight_decay,
             grad_energy=args.grad_energy,
             use_contrastive_loss=args.use_contrastive_loss,
             contrastive_weight=args.contrastive_weight,

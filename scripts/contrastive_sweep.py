@@ -35,6 +35,11 @@ VARIANTS = {
     "m2": ["--contrastive-margin", "2.0"],
     "tc02": ["--contrastive-t-max", "0.2"],
     "tc02k4": ["--contrastive-t-max", "0.2", "--contrastive-negatives", "4"],
+    # generalization lever: the held-out energy surface overfits the 20
+    # training interfaces (NOTES r4 gt-margin probe) — adamw weight decay
+    "wd1e3": ["--weight-decay", "1e-3"],
+    "tc02k4wd": ["--contrastive-t-max", "0.2", "--contrastive-negatives",
+                 "4", "--weight-decay", "1e-3"],
 }
 
 
