@@ -104,6 +104,10 @@ def main(argv=None):
                          "epochs/--pool-refresh/--save-every as multiples "
                          "of this so the chunk stays constant")
     ap.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
+    ap.add_argument("--save-offset", type=int, default=0,
+                    help="added to epoch numbers in checkpoint dir names "
+                         "(pass the already-trained epoch count when "
+                         "resuming, so dir numbering stays absolute)")
     ap.add_argument("--save-every", type=int, default=0,
                     help="checkpoint every N epochs (0 = only 'last' at the end)")
     ap.add_argument("--weight-decay", type=float, default=0.0,
@@ -178,7 +182,12 @@ def main(argv=None):
 
     def maybe_save(params, epoch):
         if args.ckpt_dir and args.save_every and (epoch + 1) % args.save_every == 0:
-            trainer.save(params, f"{args.ckpt_dir}/epoch{epoch}")
+            # --save-offset keeps epoch-dir numbering ABSOLUTE across
+            # --resume runs (without it, a resumed run restarts at epoch0
+            # and its checkpoints shadow the first run's dirs, corrupting
+            # re-entrant drivers' progress accounting under a second
+            # interruption — scripts/cv_folds.py)
+            trainer.save(params, f"{args.ckpt_dir}/epoch{epoch + args.save_offset}")
 
     def log_rows(rows):
         """Emit periodic metric lines.  The pool path materializes each

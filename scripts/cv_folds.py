@@ -93,7 +93,10 @@ def train_fold(i, holdout, epochs):
         else:
             print(f"fold{i}: resuming from {ckpt} ({remaining} epochs left)",
                   flush=True)
-            cmd += ["--resume", ckpt]
+            # --save-offset keeps checkpoint numbering absolute across
+            # resumes (a resumed run otherwise restarts at epoch0 and
+            # shadows the first run's dirs)
+            cmd += ["--resume", ckpt, "--save-offset", str(done_epoch + 1)]
             cmd[cmd.index("--epochs") + 1] = str(remaining)
     return run(cmd, os.path.join(fold_dir, "train.out"))
 

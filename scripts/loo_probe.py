@@ -61,7 +61,7 @@ def probe(cid, epochs):
 
                 shutil.copytree(ckpt, last)
             else:
-                cmd += ["--resume", ckpt]
+                cmd += ["--resume", ckpt, "--save-offset", str(done_epoch + 1)]
                 cmd[cmd.index("--epochs") + 1] = str(remaining)
         if not os.path.isdir(last):
             rc = run(cmd, os.path.join(d, "train.out"))
