@@ -14,3 +14,17 @@ sampling and ranking via an energy head).  Reference behavior is documented in
 """
 
 __version__ = "0.1.0"
+
+# Opt-in platform override.  The build environment's sitecustomize initializes
+# the axon TPU backend regardless of the JAX_PLATFORMS env var (it is reset at
+# interpreter start), so the only reliable way to force CPU is the in-process
+# config knob before first backend use (NOTES.md).  DFMDOCK_PLATFORM=cpu makes
+# every CLI / script importing this package honor that.
+import os as _os
+
+_plat = _os.environ.get("DFMDOCK_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+del _os, _plat
