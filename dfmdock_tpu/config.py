@@ -38,6 +38,9 @@ class ModelConfig:
     # in one Pallas pass (ops/edge_table.py) instead of the XLA featurize.
     # Only consulted when use_pallas is on.
     edge_table_kernel: bool = False
+    # Fused kNN + Gumbel-top-k edge selection (ops/select_topk.py) instead of
+    # the two XLA sorts.  Only consulted when use_pallas is on.
+    select_kernel: bool = False
     # mlsb Score_Net centers on the ligand-CA centroid inside the net
     # (score_net_mlsb.py:353-355); the older score_net.py twin does not
     # (its wrapper centers instead, score_model.py:61-78).

@@ -253,10 +253,18 @@ class EGNNNet:
         h0 = batch.get("h0")
         h = h0 if h0 is not None else self.embed_nodes(params, x)
 
-        idx, edge_mask = select_edges(
-            k_edges, jax.lax.stop_gradient(dist), node_mask,
-            knn=c.knn, sample_size=c.sample_size,
-        )
+        if use_pallas and c.select_kernel:
+            from dfmdock_tpu.ops.select_topk import select_topk_fused
+
+            idx, edge_mask = select_topk_fused(
+                k_edges, jax.lax.stop_gradient(dist), node_mask,
+                knn=c.knn, sample_size=c.sample_size,
+            )
+        else:
+            idx, edge_mask = select_edges(
+                k_edges, jax.lax.stop_gradient(dist), node_mask,
+                knn=c.knn, sample_size=c.sample_size,
+            )
         if use_pallas:
             from dfmdock_tpu.models.egnn import (
                 build_edge_table_xla,

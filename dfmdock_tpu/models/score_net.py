@@ -257,13 +257,24 @@ class ScoreNet:
         h = h0 if h0 is not None else self.embed_nodes(params, x)
 
         # stochastic sparse graph + edge features (gathered bins -> lookups)
-        idx, edge_mask = select_edges(
-            k_edges,
-            jax.lax.stop_gradient(dist),
-            node_mask,
-            knn=c.knn,
-            sample_size=c.sample_size,
-        )
+        if use_pallas and c.select_kernel:
+            from dfmdock_tpu.ops.select_topk import select_topk_fused
+
+            idx, edge_mask = select_topk_fused(
+                k_edges,
+                jax.lax.stop_gradient(dist),
+                node_mask,
+                knn=c.knn,
+                sample_size=c.sample_size,
+            )
+        else:
+            idx, edge_mask = select_edges(
+                k_edges,
+                jax.lax.stop_gradient(dist),
+                node_mask,
+                knn=c.knn,
+                sample_size=c.sample_size,
+            )
         # EGNN backbone (coord update in the last layer only, ligand-gated)
         if use_pallas:
             # packed [16, E] edge table (6D bins + relpos + coord geometry),

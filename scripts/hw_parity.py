@@ -13,7 +13,9 @@ TPU, in ~1-2 min warm:
   3. approx_max_k vs lax.top_k exactness (recall AND index order) on the
      exact tensors models/edges.select_edges builds, at every padded width
      the pipeline uses (128/256/448/640) — the gate behind
-     models/edges._APPROX_TOPK_VERIFIED_WIDTHS (ADVICE r3 medium).
+     models/edges._APPROX_TOPK_VERIFIED_WIDTHS (ADVICE r3 medium);
+  4. the fused selection kernel (ops/select_topk.py) bit-compared against
+     select_edges at the same widths (+ a tiny-valid masked case).
 
 Writes a JSON summary to stdout (and scripts/hw_parity_out.json); exits
 non-zero on any failure.  ONE TPU process at a time (NOTES.md).
@@ -142,6 +144,41 @@ def topk_exactness():
     return out
 
 
+def select_topk_hw_check():
+    """Compiled (Mosaic-lowered) fused selection kernel (ops/select_topk.py)
+    vs the XLA select_edges, bit-compared at every padded width.  Full-graph
+    widths must match exactly; a tiny-valid case checks the masked contract."""
+    from dfmdock_tpu.features.sixd import pairwise_ca_dist
+    from dfmdock_tpu.models.edges import select_edges
+    from dfmdock_tpu.ops.select_topk import select_topk_fused
+
+    f_ref = jax.jit(lambda k, d, m: select_edges(k, d, m, KNN, SAMPLE))
+    f_pl = jax.jit(lambda k, d, m: select_topk_fused(k, d, m, KNN, SAMPLE))
+
+    out = {}
+    cases = [(n_pad, None) for n_pad in TOPK_WIDTHS] + [(128, 45)]
+    for n_pad, n_valid in cases:
+        b = bench._synthetic_batch(n_pad, seed=n_pad + 3)
+        node_mask = b["node_mask"].astype(bool)
+        if n_valid is not None:
+            node_mask = node_mask & (jnp.arange(n_pad) < n_valid)
+        dist = pairwise_ca_dist(b["pos"])
+        key = jax.random.PRNGKey(n_pad + 1)
+        ri, rm = f_ref(key, dist, node_mask)
+        pi, pm = f_pl(key, dist, node_mask)
+        mask_eq = bool(np.array_equal(np.asarray(rm), np.asarray(pm)))
+        if n_valid is None:
+            idx_eq = bool(np.array_equal(np.asarray(ri), np.asarray(pi)))
+        else:
+            m = np.asarray(rm) > 0.5
+            idx_eq = bool(np.array_equal(np.asarray(ri)[m], np.asarray(pi)[m]))
+        label = f"{n_pad}" + (f"/valid{n_valid}" if n_valid else "")
+        out[label] = {"idx_exact": idx_eq, "mask_exact": mask_eq}
+        assert idx_eq and mask_eq, f"select_topk HW parity FAILED at {label}"
+        print(f"# select_topk width {label}: exact", file=sys.stderr, flush=True)
+    return out
+
+
 def main():
     t0 = time.time()
     platform = jax.devices()[0].platform
@@ -156,6 +193,7 @@ def main():
         "pallas_parity": bench.pallas_parity_check(fast, slow, params, real),
         "edge_table": edge_table_hw_check(),
         "approx_topk": topk_exactness(),
+        "select_topk": select_topk_hw_check(),
         "wall_s": None,
     }
     summary["wall_s"] = round(time.time() - t0, 1)

@@ -1,8 +1,10 @@
 #!/bin/bash
 # Round-4 hardware queue: wait for the axon TPU tunnel, then run the round's
 # TPU work in sequence (ONE process at a time, NOTES.md):
-#   1. scripts/hw_parity.py          — compiled kernel gate (+ topk@640 check)
+#   1. scripts/hw_parity.py          — compiled kernel gate (+ topk@640 +
+#                                      select_topk bit-parity checks)
 #   2. scripts/edge_table_bench.py   — the parked A/B (VERDICT r3 missing #5)
+#   2b/2c. scripts/select_topk_bench.py — fused-selection A/B (VERDICT r3 #4)
 #   3. bench.py                      — recapture the headline warm
 #   4. ranking_experiments folds 0-3 — eval-only H1/H2 ranking probes
 #   5. cv_folds --folds 4,5          — finish the 24/24 rotation (the long pole)
@@ -24,6 +26,15 @@ for i in $(seq 1 200); do
     say "step 2: edge_table_bench P=40"
     timeout 2400 python scripts/edge_table_bench.py 40 > /tmp/r4_etb.log 2>&1
     say "edge_table_bench exit=$?"
+
+    say "step 2b: select_topk_bench P=40"
+    timeout 2400 python scripts/select_topk_bench.py 40 > /tmp/r4_stb.log 2>&1
+    say "select_topk_bench exit=$?"
+
+    say "step 2c: select_topk_bench P=40 --edge-table"
+    timeout 2400 python scripts/select_topk_bench.py 40 --edge-table \
+      > /tmp/r4_stb_et.log 2>&1
+    say "select_topk_bench(et) exit=$?"
 
     say "step 3: bench.py"
     timeout 3000 python bench.py > /tmp/r4_bench.json 2>/tmp/r4_bench.log
@@ -51,6 +62,10 @@ for i in $(seq 1 200); do
         > /tmp/r4_rank$f.log 2>&1
       say "ranking fold $f exit=$?"
     done
+
+    say "step 7: loo_probe (leave-one-out data-volume probe)"
+    timeout 14400 python scripts/loo_probe.py > /tmp/r4_loo.log 2>&1
+    say "loo_probe exit=$?"
 
     say "queue done"
     exit 0
