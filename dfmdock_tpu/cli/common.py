@@ -127,8 +127,14 @@ def write_csv(path: str, rows: list[dict]):
     import csv
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # union of keys in first-seen order: resumed rows from an older run may
+    # lack columns a newer run adds (missing cells write empty)
+    fields = {}
+    for r in rows:
+        for k in r:
+            fields[k] = None
     with open(path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w = csv.DictWriter(f, fieldnames=list(fields))
         w.writeheader()
         for r in rows:
             w.writerow(r)

@@ -158,7 +158,9 @@ def main(argv=None):
         # one summary line per energy_* column (H1/H2 comparison readout)
         some = next(iter(rows.values()))[0]
         keys = ["energy"] + sorted(
-            k for k in some if k.startswith("energy_t"))
+            k for k in some
+            if k.startswith(("energy_t", "icons_t", "snorm_t"))
+            and not k.endswith("_std"))
         lines = [f"# {args.title} — signal comparison", "",
                  "| key | mean rho(E,DockQ) | %neg | top1 | random | best |"
                  " gt<all decoys | mean margin |",

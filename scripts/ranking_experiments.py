@@ -18,9 +18,13 @@ EXISTING fold checkpoints, no retraining:
 
 For each held-out complex: re-sample P poses with the fold checkpoint
 (same protocol as cv_folds eval: 40 samples, 40-step EM), then re-score
-every pose at each t in --t-list with K independent edge draws.  Writes a
-per-pose CSV (DockQ, c_rmsd, num_clashes, energy_t*_mean/std/first) that
-scripts/ranking_analysis.py can rank with any --energy-key.
+every pose at each t in --t-list with K independent edge draws.  Alongside
+the energy it records two confidence keys with no reference counterpart:
+icons (interface self-consistency BCE between the ires head and the pose's
+own contacts) and snorm (predicted score magnitude; small near the learned
+manifold) — both rank like energy (lower = better).  Writes a per-pose CSV
+({energy,icons,snorm}_t*_mean/std/first) that scripts/ranking_analysis.py
+can rank with any --energy-key.
 
     python scripts/ranking_experiments.py --fold 0 [--t-list ...] [--k 8]
 
@@ -92,11 +96,26 @@ def main(argv=None):
     # vmapped re-scorer: one executable per bucket size (t and key are
     # device values, not trace constants)
     def score_one(params_, batch_, pos_p, t, key):
+        from dfmdock_tpu.train.losses import _bce_logits, interface_labels
+
         b = dict(batch_)
         b["pos"] = pos_p
         b["t"] = t
         out = net.apply(params_, b, key, predict=True)
-        return out["energy"], out["num_clashes"]
+        # confidence keys beyond the reference's terminal energy:
+        #   icons — interface self-consistency: BCE between the predicted
+        #     interface-residue logits (trained on TRUE interfaces) and the
+        #     scored pose's OWN geometric interface; native-like poses agree
+        #     with the head, decoys need not (lower = better, like energy).
+        #   snorm — predicted score magnitude at this t: poses on the learned
+        #     manifold sit near a fixed point of the reverse SDE, so small
+        #     |score| signals an on-distribution pose (lower = better).
+        labels = interface_labels(pos_p, batch_["lig_mask"], batch_["node_mask"])
+        icons = _bce_logits(out["ires"], labels,
+                            batch_["node_mask"].astype(jnp.float32))
+        snorm = jnp.sqrt((out["tr_score"] ** 2).sum()) + jnp.sqrt(
+            (out["rot_score"] ** 2).sum())
+        return out["energy"], icons, snorm
 
     scorer = jax.jit(jax.vmap(score_one, in_axes=(None, None, 0, None, 0)))
 
@@ -138,7 +157,7 @@ def main(argv=None):
 
         for ti, t in enumerate(t_list):
             t_dev = jnp.float32(t)
-            e_draws = []
+            draws = {"energy": [], "icons": [], "snorm": []}
             cidx = ds.ids.index(cid)
             for kk in range(args.k):
                 # deterministic per (complex, t, draw): fold indices, never
@@ -147,14 +166,17 @@ def main(argv=None):
                 for fold_val in (cidx, ti, kk):
                     kdraw = jax.random.fold_in(kdraw, fold_val)
                 keys = jax.random.split(kdraw, P)
-                e, _ = scorer(params, batch, pos_all, t_dev, keys)
-                e_draws.append(np.asarray(e, np.float64))
-            e_draws = np.stack(e_draws, 1)  # [P, K]
+                e, ic, sn = scorer(params, batch, pos_all, t_dev, keys)
+                for name, v in (("energy", e), ("icons", ic), ("snorm", sn)):
+                    draws[name].append(np.asarray(v, np.float64))
             tname = f"{t:g}".replace("-", "m")
-            for i in range(P):
-                recs[i][f"energy_t{tname}_first"] = e_draws[i, 0]
-                recs[i][f"energy_t{tname}_mean"] = e_draws[i].mean()
-                recs[i][f"energy_t{tname}_std"] = e_draws[i].std()
+            for name, ds_ in draws.items():
+                arr = np.stack(ds_, 1)  # [P, K]
+                for i in range(P):
+                    recs[i][f"{name}_t{tname}_first"] = arr[i, 0]
+                    recs[i][f"{name}_t{tname}_mean"] = arr[i].mean()
+                    recs[i][f"{name}_t{tname}_std"] = arr[i].std()
+            e_draws = np.stack(draws["energy"], 1)
             print(f"{cid}: t={t} within-pose std {e_draws.std(1).mean():.4f} "
                   f"between-pose std {e_draws.mean(1).std():.4f}", flush=True)
 
