@@ -117,7 +117,7 @@ def _nets():
     from dfmdock_tpu.config import ModelConfig
     from dfmdock_tpu.models import ScoreNet
 
-    fast = ScoreNet(ModelConfig(compute_dtype="bfloat16", use_pallas=True))
+    fast = ScoreNet(ModelConfig.fast())
     slow = ScoreNet(ModelConfig())
     params = fast.init(jax.random.PRNGKey(0))
     return fast, slow, params
@@ -258,7 +258,7 @@ def measure_tpu():
     parity = pallas_parity_check(fast, slow, params, batch)
 
     cfg = DFMDockConfig(
-        model=ModelConfig(compute_dtype="bfloat16", use_pallas=True),
+        model=ModelConfig.fast(),
         sampler=SamplerConfig(num_steps=NUM_STEPS),
     )
     r3 = R3Diffuser(cfg.diffuser.r3)

@@ -118,10 +118,7 @@ def main(argv=None):
     from dfmdock_tpu.config import ModelConfig
 
     cfg = DFMDockConfig(
-        model=ModelConfig(
-            use_pallas=not args.exact,
-            compute_dtype="float32" if args.exact else "bfloat16",
-        ),
+        model=ModelConfig() if args.exact else ModelConfig.fast(),
         sampler=SamplerConfig(
             num_steps=args.num_steps,
             tr_noise_scale=args.tr_noise_scale,

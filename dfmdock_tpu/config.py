@@ -50,6 +50,20 @@ class ModelConfig:
     def edges_per_node(self) -> int:
         return self.knn + self.sample_size
 
+    @classmethod
+    def fast(cls, **overrides) -> "ModelConfig":
+        """The production inference fast path: bf16 MXU compute + the fused
+        Pallas kernels whose hardware A/B has been won.  bench.py, the CLIs
+        and the eval scripts all build their fast config here, so flipping a
+        kernel default after its A/B is a one-line change.
+
+        Kernel flags start False until scripts/{edge_table,select_topk}
+        _bench.py prove them faster under the real Mosaic lowering
+        (interpret mode cannot, NOTES.md round 3)."""
+        kw = dict(compute_dtype="bfloat16", use_pallas=True)
+        kw.update(overrides)
+        return cls(**kw)
+
 
 @dataclasses.dataclass(frozen=True)
 class R3Config:

@@ -26,7 +26,7 @@ from dfmdock_tpu.models.egnn import egnn_apply_fused
 P = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 ITERS = 20
 
-cfg = ModelConfig(compute_dtype="bfloat16", use_pallas=True)
+cfg = ModelConfig.fast()
 net = ScoreNet(cfg)
 params = net.init(jax.random.PRNGKey(0))
 ds = NPZDataset("data/db5_npz")

@@ -54,8 +54,8 @@ def main():
     from dfmdock_tpu.config import DFMDockConfig, ModelConfig
     from dfmdock_tpu.data.dataset import NPZDataset, complex_to_batch
 
-    cfg = DFMDockConfig(model=ModelConfig() if args.cpu else ModelConfig(
-        use_pallas=True, compute_dtype="bfloat16"))
+    cfg = DFMDockConfig(
+        model=ModelConfig() if args.cpu else ModelConfig.fast())
     net, params = load_model(args.ckpt, cfg)
     ds = NPZDataset(os.path.join(REPO, "data/db5_npz"))
 

@@ -39,7 +39,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
 
     cfg = DFMDockConfig(
-        model=ModelConfig(use_pallas=True, compute_dtype="bfloat16"),
+        model=ModelConfig.fast(),
         sampler=SamplerConfig(num_steps=args.num_steps, ode=True),
     )
     net, params = load_model(args.ckpt, cfg)

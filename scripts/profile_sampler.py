@@ -35,7 +35,7 @@ def main():
     import jax.numpy as jnp
 
     cfg = DFMDockConfig(
-        model=ModelConfig(compute_dtype="bfloat16", use_pallas=True),
+        model=ModelConfig.fast(),
         sampler=SamplerConfig(num_steps=40),
     )
     net = ScoreNet(cfg.model)

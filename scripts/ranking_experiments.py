@@ -86,7 +86,7 @@ def main(argv=None):
     t_list = [float(s) for s in args.t_list.split(",")]
 
     cfg = DFMDockConfig(
-        model=ModelConfig(use_pallas=True, compute_dtype="bfloat16"),
+        model=ModelConfig.fast(),
         sampler=SamplerConfig(num_steps=args.num_steps),
     )
     net, params = load_model(ckpt, cfg)
