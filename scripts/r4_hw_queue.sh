@@ -52,6 +52,11 @@ for i in $(seq 1 200); do
       say "ranking fold $f exit=$?"
     done
 
+    say "step 4b: contrastive_sweep (trimmed: the margin-flip variants)"
+    timeout 14400 python scripts/contrastive_sweep.py \
+      --variants base,tc02,tc02k4,tc02k4wd > /tmp/r4_contrastive.log 2>&1
+    say "contrastive_sweep exit=$?"
+
     say "step 5: cv_folds 4,5"
     timeout 28800 python scripts/cv_folds.py --folds 4,5 > /tmp/r4_cv45.log 2>&1
     say "cv_folds exit=$?"
