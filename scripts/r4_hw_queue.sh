@@ -52,6 +52,11 @@ for i in $(seq 1 200); do
       say "ranking fold $f exit=$?"
     done
 
+    say "step 4a: fit_reranker on folds 0-3 (CPU, cheap)"
+    timeout 600 python scripts/fit_reranker.py \
+      --out ckpts/db5_cv/reranker.md > /tmp/r4_reranker.log 2>&1
+    say "fit_reranker exit=$?"
+
     say "step 4b: contrastive_sweep (trimmed: the margin-flip variants)"
     timeout 14400 python scripts/contrastive_sweep.py \
       --variants base,tc02,tc02k4,tc02k4wd > /tmp/r4_contrastive.log 2>&1
@@ -67,6 +72,13 @@ for i in $(seq 1 200); do
         > /tmp/r4_rank$f.log 2>&1
       say "ranking fold $f exit=$?"
     done
+
+    say "step 6b: fit_reranker on all folds"
+    timeout 600 python scripts/fit_reranker.py \
+      --out ckpts/db5_cv/reranker.md \
+      --weights-out ckpts/db5_cv/reranker_weights.json \
+      > /tmp/r4_reranker_all.log 2>&1
+    say "fit_reranker(all) exit=$?"
 
     say "step 7: loo_probe (leave-one-out data-volume probe)"
     timeout 14400 python scripts/loo_probe.py > /tmp/r4_loo.log 2>&1

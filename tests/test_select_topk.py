@@ -129,3 +129,43 @@ def test_net_forward_parity():
         np.testing.assert_array_equal(
             np.asarray(o1[k]), np.asarray(o2[k]), err_msg=k
         )
+
+
+def test_dfmdock_lineage_forward_parity():
+    """The EGNNNet (DFMDock lineage) call site is wired separately; same
+    bit-identity contract on its Pallas predict path."""
+    import dataclasses
+
+    from dfmdock_tpu.config import ModelConfig
+    from dfmdock_tpu.data import pad_complex
+    from dfmdock_tpu.models.egnn_net import EGNNNet
+
+    cfg = ModelConfig(
+        lm_embed_dim=32, node_dim=24, edge_dim=16, inner_dim=16, depth=2,
+        dropout=0.0, use_pallas=True,
+    )
+    rng = np.random.RandomState(7)
+    n_rec, n_lig, feat = 32, 20, 32
+    rec_ca = np.cumsum(rng.randn(n_rec, 3) * 2 + [3.8, 0, 0], axis=0)
+    lig_ca = np.cumsum(rng.randn(n_lig, 3) * 2 + [3.8, 0, 0], axis=0) + [10, 5, 0]
+    raw = (
+        rng.randn(n_rec, feat).astype(np.float32),
+        rng.randn(n_lig, feat).astype(np.float32),
+        np.stack([rec_ca - [1.4, 0, 0], rec_ca, rec_ca + [1.5, 0, 0]], 1).astype(np.float32),
+        np.stack([lig_ca - [1.4, 0, 0], lig_ca, lig_ca + [1.5, 0, 0]], 1).astype(np.float32),
+    )
+    batch = {k: jnp.asarray(v) for k, v in pad_complex(*raw).items()}
+    batch["t"] = jnp.float32(0.4)
+    key = jax.random.PRNGKey(6)
+
+    net_slow = EGNNNet(cfg)
+    params = net_slow.init(jax.random.PRNGKey(0))
+    net_fast = EGNNNet(dataclasses.replace(cfg, select_kernel=True))
+    o1 = net_slow.apply(params, batch, key, predict=True)
+    o2 = net_fast.apply(params, batch, key, predict=True)
+    for k in o1:
+        if o1[k] is None:
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(o1[k]), np.asarray(o2[k]), err_msg=k
+        )
