@@ -120,6 +120,10 @@ def main(argv=None):
                          "t_c ~ U(eps, t_max) (hard near-native negatives)")
     ap.add_argument("--contrastive-negatives", type=int, default=1,
                     help="> 1: K negatives, InfoNCE instead of softplus")
+    ap.add_argument("--contrastive-clash-negatives", type=int, default=0,
+                    help="additional over-buried negatives: native ligand "
+                         "translated toward the receptor centroid by "
+                         "U(1,5) A (targets the inverted held-out margin)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--metrics-json", default=None, help="append per-log-step JSONL here")
@@ -136,6 +140,7 @@ def main(argv=None):
             contrastive_margin=args.contrastive_margin,
             contrastive_t_max=args.contrastive_t_max,
             contrastive_negatives=args.contrastive_negatives,
+            contrastive_clash_negatives=args.contrastive_clash_negatives,
             use_confidence_loss=args.use_confidence_loss,
             use_dist_loss=args.use_dist_loss,
             use_interface_loss=not args.no_interface_loss,

@@ -118,6 +118,12 @@ class ExperimentConfig:
     contrastive_t_max: float = 0.0
     # > 1: K independent negatives at t_c, InfoNCE log(1 + sum exp(E_gt-E_i))
     contrastive_negatives: int = 1
+    # > 0: ADDITIONAL over-buried negatives: the ligand translated toward the
+    # receptor centroid by U(1, 5) A from the native pose.  Targets the
+    # measured round-4 failure (gt_margin_probe: held-out energy rewards
+    # over-contacted decoys BELOW the native) with the exact decoy family the
+    # isotropic diffusion negatives rarely produce.
+    contrastive_clash_negatives: int = 0
     # DFMDock-lineage extras (reference configs/model/DFMDock.yaml:39-52)
     crop_size: int = 1200
     use_confidence_loss: bool = False

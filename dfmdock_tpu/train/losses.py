@@ -164,7 +164,9 @@ def loss_fn(params, net, r3, so3, batch, key, exp: ExperimentConfig, injected=No
     # (InfoNCE); defaults reproduce the reference construction exactly.
     if exp.use_contrastive_loss:
         margin = jnp.float32(exp.contrastive_margin)
-        own_pair = exp.contrastive_t_max > 0.0 or exp.contrastive_negatives > 1
+        own_pair = (exp.contrastive_t_max > 0.0
+                    or exp.contrastive_negatives > 1
+                    or exp.contrastive_clash_negatives > 0)
         if not own_pair:
             gt_batch = dict(batch)
             gt_batch["t"] = t
@@ -196,6 +198,31 @@ def loss_fn(params, net, r3, so3, batch, key, exp: ExperimentConfig, injected=No
                 e_i = net.apply(params, neg, k_e_i, return_energy=True,
                                 train=True)
                 gaps.append(energy_gt - e_i + margin)
+            # over-buried negatives (contrastive_clash_negatives): translate
+            # the native ligand toward the receptor centroid by U(1, 5) A —
+            # the decoy family the held-out energy mis-ranks below the native
+            # (NOTES.md round 4 gt-margin probe); no rotation, so the only
+            # change vs the native is deeper burial.
+            if exp.contrastive_clash_negatives > 0:
+                ca = gt_pos[:, 1, :]
+                rec_valid = (1.0 - batch["lig_mask"]) * valid
+                rec_c = (rec_valid[:, None] * ca).sum(0) / jnp.maximum(
+                    rec_valid.sum(), 1.0)
+                lig_c = (lig_valid[:, None] * ca).sum(0) / jnp.maximum(
+                    lig_valid.sum(), 1.0)
+                dirn = rec_c - lig_c
+                dirn = dirn / jnp.maximum(jnp.sqrt((dirn ** 2).sum()), 1e-6)
+                for i in range(exp.contrastive_clash_negatives):
+                    k_i = jax.random.fold_in(k_net_gt, 101 + i)
+                    k_d, k_e_i = jax.random.split(k_i)
+                    delta = jax.random.uniform(k_d, minval=1.0, maxval=5.0)
+                    neg = dict(batch)
+                    neg["pos"] = modify_coords(
+                        gt_pos, batch["lig_mask"], jnp.zeros(3), dirn * delta)
+                    neg["t"] = t_c
+                    e_i = net.apply(params, neg, k_e_i, return_energy=True,
+                                    train=True)
+                    gaps.append(energy_gt - e_i + margin)
             # log(1 + sum_i exp(gap_i)): K=1 -> softplus(gap); stabilized
             # with the max trick (gaps can be large early in training)
             g = jnp.stack(gaps)

@@ -40,6 +40,11 @@ VARIANTS = {
     "wd1e3": ["--weight-decay", "1e-3"],
     "tc02k4wd": ["--contrastive-t-max", "0.2", "--contrastive-negatives",
                  "4", "--weight-decay", "1e-3"],
+    # over-buried negatives: the exact decoy family the round-4 gt-margin
+    # probe showed the held-out energy mis-ranking below the native
+    "cl2": ["--contrastive-clash-negatives", "2"],
+    "tc02k4cl2": ["--contrastive-t-max", "0.2", "--contrastive-negatives",
+                  "4", "--contrastive-clash-negatives", "2"],
 }
 
 

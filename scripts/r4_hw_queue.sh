@@ -59,7 +59,8 @@ for i in $(seq 1 200); do
 
     say "step 4b: contrastive_sweep (trimmed: the margin-flip variants)"
     timeout 14400 python scripts/contrastive_sweep.py \
-      --variants base,tc02,tc02k4,tc02k4wd > /tmp/r4_contrastive.log 2>&1
+      --variants base,tc02,tc02k4,cl2,tc02k4cl2,tc02k4wd \
+      > /tmp/r4_contrastive.log 2>&1
     say "contrastive_sweep exit=$?"
 
     say "step 5: cv_folds 4,5"

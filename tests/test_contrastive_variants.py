@@ -97,6 +97,58 @@ def test_infonce_k3_finite_and_larger_than_k1():
     assert b > a
 
 
+def test_clash_negatives_finite_and_additive():
+    """Clash negatives extend the InfoNCE gap list: with them on, the loss
+    stays finite/positive and strictly exceeds the same config without them
+    (extra positive exp terms inside the log)."""
+    net, params, batch, r3, so3 = _setup()
+    base = ExperimentConfig(use_contrastive_loss=True, contrastive_t_max=0.3,
+                            contrastive_negatives=1)
+    cl = dataclasses.replace(base, contrastive_clash_negatives=2)
+    a = _el(base, net, params, batch, r3, so3)
+    b = _el(cl, net, params, batch, r3, so3)
+    assert np.isfinite(b) and b > a
+
+
+def test_clash_negatives_alone_enable_own_pair():
+    """contrastive_clash_negatives > 0 with default t/K must take the
+    own-pair branch (not the shared-noised-pose reference construction)."""
+    net, params, batch, r3, so3 = _setup()
+    exp = ExperimentConfig(use_contrastive_loss=True,
+                           contrastive_clash_negatives=1)
+    el = _el(exp, net, params, batch, r3, so3)
+    assert np.isfinite(el) and el > 0
+
+
+def test_clash_negative_geometry_buries_ligand():
+    """The constructed negative translates the ligand toward the receptor:
+    the min receptor-ligand CA distance must shrink (deeper burial)."""
+    from dfmdock_tpu.sampler.em import modify_coords
+
+    net, params, batch, r3, so3 = _setup()
+    valid = batch["node_mask"].astype(jnp.float32)
+    lig_valid = batch["lig_mask"] * valid
+    rec_valid = (1.0 - batch["lig_mask"]) * valid
+    ca = batch["pos"][:, 1, :]
+    rec_c = (rec_valid[:, None] * ca).sum(0) / rec_valid.sum()
+    lig_c = (lig_valid[:, None] * ca).sum(0) / lig_valid.sum()
+    dirn = (rec_c - lig_c) / jnp.sqrt(((rec_c - lig_c) ** 2).sum())
+    pos_neg = modify_coords(batch["pos"], batch["lig_mask"], jnp.zeros(3),
+                            dirn * 3.0)
+    ca_n = pos_neg[:, 1, :]
+
+    # pure translation along the centroid line: the rec-lig centroid
+    # separation must shrink by exactly the step (deeper burial), and the
+    # receptor must not move
+    lig_c_n = (lig_valid[:, None] * ca_n).sum(0) / lig_valid.sum()
+    sep0 = float(jnp.sqrt(((rec_c - lig_c) ** 2).sum()))
+    sep1 = float(jnp.sqrt(((rec_c - lig_c_n) ** 2).sum()))
+    np.testing.assert_allclose(sep1, sep0 - 3.0, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(pos_neg)[np.asarray(rec_valid) > 0],
+        np.asarray(batch["pos"])[np.asarray(rec_valid) > 0])
+
+
 def test_reference_default_path_unchanged_by_knob_fields():
     """With all knobs at defaults the added code must not perturb the loss:
     same key, same value as an ExperimentConfig that predates the knobs
