@@ -91,3 +91,18 @@ def select_edges(
         jnp.float32
     )
     return idx, edge_mask
+
+
+def select_edges_dispatch(cfg, use_pallas, key, dist, node_mask):
+    """One place for the fast/slow selection choice (both net lineages call
+    this): the fused Pallas kernel when enabled on the predict path, the XLA
+    sorts otherwise.  Bit-identical either way (tests/test_select_topk.py)."""
+    if use_pallas and cfg.select_kernel:
+        from dfmdock_tpu.ops.select_topk import select_topk_fused
+
+        return select_topk_fused(
+            key, dist, node_mask, knn=cfg.knn, sample_size=cfg.sample_size
+        )
+    return select_edges(
+        key, dist, node_mask, knn=cfg.knn, sample_size=cfg.sample_size
+    )

@@ -32,7 +32,7 @@ from dfmdock_tpu.features.sixd import (
     spatial_embed_from_bins,
 )
 from dfmdock_tpu.models import modules as nn
-from dfmdock_tpu.models.edges import select_edges
+from dfmdock_tpu.models.edges import select_edges_dispatch
 from dfmdock_tpu.models.egnn import egcl_init, egcl_apply
 
 ROW_CHUNK = 64
@@ -253,18 +253,9 @@ class EGNNNet:
         h0 = batch.get("h0")
         h = h0 if h0 is not None else self.embed_nodes(params, x)
 
-        if use_pallas and c.select_kernel:
-            from dfmdock_tpu.ops.select_topk import select_topk_fused
-
-            idx, edge_mask = select_topk_fused(
-                k_edges, jax.lax.stop_gradient(dist), node_mask,
-                knn=c.knn, sample_size=c.sample_size,
-            )
-        else:
-            idx, edge_mask = select_edges(
-                k_edges, jax.lax.stop_gradient(dist), node_mask,
-                knn=c.knn, sample_size=c.sample_size,
-            )
+        idx, edge_mask = select_edges_dispatch(
+            c, use_pallas, k_edges, jax.lax.stop_gradient(dist), node_mask
+        )
         if use_pallas:
             from dfmdock_tpu.models.egnn import (
                 build_edge_table_xla,

@@ -36,7 +36,7 @@ from dfmdock_tpu.features.sixd import (
     spatial_embed_from_bins,
 )
 from dfmdock_tpu.models import modules as nn
-from dfmdock_tpu.models.edges import select_edges
+from dfmdock_tpu.models.edges import select_edges_dispatch
 from dfmdock_tpu.models.egnn import (
     build_edge_table_xla,
     egnn_apply,
@@ -257,24 +257,9 @@ class ScoreNet:
         h = h0 if h0 is not None else self.embed_nodes(params, x)
 
         # stochastic sparse graph + edge features (gathered bins -> lookups)
-        if use_pallas and c.select_kernel:
-            from dfmdock_tpu.ops.select_topk import select_topk_fused
-
-            idx, edge_mask = select_topk_fused(
-                k_edges,
-                jax.lax.stop_gradient(dist),
-                node_mask,
-                knn=c.knn,
-                sample_size=c.sample_size,
-            )
-        else:
-            idx, edge_mask = select_edges(
-                k_edges,
-                jax.lax.stop_gradient(dist),
-                node_mask,
-                knn=c.knn,
-                sample_size=c.sample_size,
-            )
+        idx, edge_mask = select_edges_dispatch(
+            c, use_pallas, k_edges, jax.lax.stop_gradient(dist), node_mask
+        )
         # EGNN backbone (coord update in the last layer only, ligand-gated)
         if use_pallas:
             # packed [16, E] edge table (6D bins + relpos + coord geometry),

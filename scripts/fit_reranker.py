@@ -59,9 +59,13 @@ def feature_columns(rows, families):
     return cols
 
 
-def complex_matrix(rows, cols):
-    """-> dict id -> (X [P, F] z-scored within complex, dockq [P])."""
+def complex_matrix(rows, cols, label=""):
+    """-> dict id -> (X [P, F] z-scored within complex, dockq [P]).
+
+    Rows missing any feature cell (mixed-era resumed CSVs) are dropped and
+    REPORTED — silent truncation would read as full coverage."""
     by_id = {}
+    dropped = 0
     for r in rows:
         if r.get("index") == "gt":
             continue
@@ -69,11 +73,13 @@ def complex_matrix(rows, cols):
             x = [float(r[c]) for c in cols]
             q = float(r["DockQ"])
         except (KeyError, TypeError, ValueError):
+            dropped += 1
             continue
         by_id.setdefault(r["id"], []).append((x, q))
     out = {}
     for cid, xs in by_id.items():
         if len(xs) < 5:
+            dropped += len(xs)
             continue
         X = np.array([x for x, _ in xs], np.float64)
         q = np.array([q for _, q in xs], np.float64)
@@ -81,16 +87,17 @@ def complex_matrix(rows, cols):
         X = (X - mu) / np.where(sd > 1e-12, sd, 1.0)
         qz = (q - q.mean()) / (q.std() if q.std() > 1e-12 else 1.0)
         out[cid] = (X, q, qz)
+    if dropped:
+        print(f"# WARNING {label}: dropped {dropped} rows lacking "
+              f"feature cells (older-run CSV?); {len(out)} complexes kept",
+              file=sys.stderr)
     return out
 
 
-def spearman(a, b):
-    ra = np.argsort(np.argsort(a)).astype(np.float64)
-    rb = np.argsort(np.argsort(b)).astype(np.float64)
-    ra -= ra.mean()
-    rb -= rb.mean()
-    d = np.sqrt((ra * ra).sum() * (rb * rb).sum())
-    return float((ra * rb).sum() / d) if d > 0 else 0.0
+# tie-aware rank correlation — DockQ saturates at ~0 for most held-out
+# poses, so ties are the COMMON case; the argsort-of-argsort shortcut would
+# make rho depend on row order
+from ranking_analysis import spearman  # noqa: E402
 
 
 def fit_ridge(train, ridge):
@@ -111,7 +118,7 @@ def evaluate(test, w):
         rand.append(q.mean())
         best.append(q.max())
     return {
-        "rho": float(np.mean(rhos)), "top1": float(np.mean(top1)),
+        "rho": float(np.nanmean(rhos)), "top1": float(np.mean(top1)),
         "random": float(np.mean(rand)), "best": float(np.mean(best)),
         "n_complexes": len(test),
     }
@@ -129,8 +136,7 @@ def main(argv=None):
     ap.add_argument("--weights-out", default=None,
                     help="write the pooled-fit weight vector as JSON")
     args = ap.parse_args(argv)
-    paths = args.csvs or sorted(glob.glob(
-        os.path.join(REPO, "ckpts/db5_cv/fold*/ranking_exp.csv")))
+    paths = args.csvs
     if len(paths) < 2:
         sys.exit(f"need >= 2 fold CSVs for leave-fold-out (got {paths})")
     families = args.features.split(",")
@@ -139,7 +145,12 @@ def main(argv=None):
     cols = feature_columns(sum(all_rows, []), families)
     if not cols:
         sys.exit("no feature columns found — run ranking_experiments first")
-    data = [complex_matrix(rows, cols) for rows in all_rows]
+    data = [complex_matrix(rows, cols, label=p)
+            for rows, p in zip(all_rows, paths)]
+    for p, d in zip(paths, data):
+        if not d:
+            print(f"# WARNING: {p} contributes no usable complexes",
+                  file=sys.stderr)
 
     lines = ["# Learned linear re-ranker (leave-fold-out)", "",
              f"features ({len(cols)}): {', '.join(cols)}", "",

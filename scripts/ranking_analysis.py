@@ -77,10 +77,11 @@ def gt_margins(paths, energy_key):
     for cid, rs in all_rows.items():
         gt = [r for r in rs if r.get("index") == "gt"]
         dec = [r for r in rs if r.get("index") != "gt"]
-        if not gt or not dec or energy_key not in gt[0] or not gt[0][energy_key]:
+        dec = [r for r in dec if r.get(energy_key) not in ("", None)]
+        if not gt or not dec or not gt[0].get(energy_key):
             continue
         e_gt = float(gt[0][energy_key])
-        e_min = min(float(r[energy_key]) for r in dec if r.get(energy_key))
+        e_min = min(float(r[energy_key]) for r in dec)
         out[cid] = e_gt - e_min
     return out
 
@@ -88,6 +89,11 @@ def gt_margins(paths, energy_key):
 def analyze(rows, energy_key="energy"):
     per = {}
     for cid, rs in sorted(rows.items()):
+        # tolerate mixed-era CSVs: resumed runs leave '' in columns that were
+        # added after the original rows were written (write_csv key union)
+        rs = [r for r in rs if r.get(energy_key) not in ("", None)]
+        if len(rs) < 2:
+            continue
         e = np.array([float(r[energy_key]) for r in rs])
         dq = np.array([float(r["DockQ"]) for r in rs])
         crm = np.array([float(r["c_rmsd"]) for r in rs])
@@ -156,9 +162,12 @@ def main(argv=None):
         sys.exit(f"no rows found in {paths}")
     if args.energy_key == "all":
         # one summary line per energy_* column (H1/H2 comparison readout)
-        some = next(iter(rows.values()))[0]
+        seen = set()
+        for rs in rows.values():
+            for r in rs:
+                seen.update(k for k, v in r.items() if v not in ("", None))
         keys = ["energy"] + sorted(
-            k for k in some
+            k for k in seen
             if k.startswith(("energy_t", "icons_t", "snorm_t"))
             and not k.endswith("_std"))
         lines = [f"# {args.title} — signal comparison", "",

@@ -82,11 +82,19 @@ def main():
 
     # same key -> same Gumbel -> bit-identical selections -> identical
     # trajectories (interpret-mode tests prove equality; this re-proves it
-    # under the Mosaic lowering)
+    # under the Mosaic lowering).  A HARD gate: this A/B is what flips
+    # select_kernel in ModelConfig.fast(), so divergence must fail the run,
+    # not just print.
+    ok = True
     for k in ("pos", "energy"):
         a, b = np.asarray(outs[False][k]), np.asarray(outs[True][k])
         rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
         print(f"parity {k}: max-abs-rel {rel:.2e}", flush=True)
+        ok &= rel < 1e-6
+    if not ok:
+        print("PARITY FAILED — compiled selections diverge; do NOT flip "
+              "select_kernel", flush=True)
+        sys.exit(1)
 
     speedup = results[False] / results[True]
     print(f"SPEEDUP x{speedup:.3f} (XLA sorts {results[False]*1e3:.1f} ms -> "
