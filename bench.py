@@ -347,6 +347,8 @@ def main():
                        f"{BACKEND_WAIT_TOTAL_S}s (TPU tunnel outage?)"},
         }))
         sys.exit(1)
+    from dfmdock_tpu.config import ModelConfig
+
     tpu = measure_tpu()
     try:
         baseline_sps = measure_torch_baseline()
@@ -371,6 +373,12 @@ def main():
                     "baseline_caveat": "eager-torch on host CPU; a single GPU would plausibly be 10-50x this",
                     "num_steps": NUM_STEPS,
                     "headline_poses": HEADLINE_POSES,
+                    # which fused kernels this capture ran with (flipped in
+                    # ModelConfig.fast after their hardware A/Bs)
+                    "kernels": {
+                        "edge_table": ModelConfig.fast().edge_table_kernel,
+                        "select": ModelConfig.fast().select_kernel,
+                    },
                 },
             }
         )
