@@ -106,6 +106,11 @@ def main(argv=None):
                     help="> 1: rank by the mean energy over K independent "
                          "edge-sampling draws (denoised ranking; the "
                          "reference scores one draw)")
+    ap.add_argument("--rank-by", choices=["energy", "icons", "snorm"],
+                    default="energy",
+                    help="pose-ranking key: energy (reference behavior), "
+                         "icons (interface self-consistency) or snorm "
+                         "(score magnitude) — all lower = better")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--write-all-poses", action="store_true")
     ap.add_argument("--exact", action="store_true",
@@ -167,18 +172,21 @@ def main(argv=None):
             sampler, params, job, sub, args.num_samples, native=native,
             run_fn=run_fn,
         )
-        if args.energy_draws > 1:
-            from dfmdock_tpu.cli.sweep import _multi_draw_energy
+        if args.energy_draws > 1 or args.rank_by != "energy":
+            from dfmdock_tpu.cli.sweep import _multi_draw_scores
 
-            e = _multi_draw_energy(
+            scores = _multi_draw_scores(
                 net, params, job, results["pos"],
                 int(results["pos"].shape[1]), args.energy_draws, args.seed,
                 t_eval=cfg.sampler.eps,
             )
             for i, r in enumerate(rows):
-                r["energy_first_draw"] = r["energy"]
-                r["energy"] = float(e[i])
-            best = int(np.argmin(e))
+                if args.energy_draws > 1:
+                    r["energy_first_draw"] = r["energy"]
+                    r["energy"] = float(scores["energy"][i])
+                r["icons"] = float(scores["icons"][i])
+                r["snorm"] = float(scores["snorm"][i])
+            best = int(np.argmin(scores[args.rank_by]))
         else:
             best = int(EMSampler.rank_by_energy(results))
         all_rows.extend(rows)

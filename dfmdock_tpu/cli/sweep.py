@@ -170,36 +170,55 @@ def main(argv=None):
 _SCORERS = {}
 
 
-def _multi_draw_energy(net, params, raw, pos_all, pad_to, k_draws, seed,
+def _multi_draw_scores(net, params, raw, pos_all, pad_to, k_draws, seed,
                        t_eval=1e-3):
-    """Mean terminal energy over k independent edge-sampling draws, vmapped
-    over poses.  The per-pose energy is a masked mean over ONE stochastic
-    sparse-graph draw; averaging draws denoises the ranking signal without
-    touching sampling (one executable per bucket size; t_eval matches the
-    sampler's terminal step)."""
+    """Mean ranking scores over k independent edge-sampling draws, vmapped
+    over poses: energy (the reference's key), icons (interface
+    self-consistency BCE) and snorm (predicted score magnitude) — all
+    lower-is-better.  The per-pose scores depend on ONE stochastic
+    sparse-graph draw; averaging draws denoises the ranking without touching
+    sampling (one executable per bucket size; t_eval matches the sampler's
+    terminal step)."""
     batch = {k: jnp.asarray(v)
              for k, v in complex_to_batch(raw, pad_to=pad_to).items()}
 
     if id(net) not in _SCORERS:
         def score_one(params_, batch_, pos_p, t, key):
+            from dfmdock_tpu.train.losses import _bce_logits, interface_labels
+
             b = dict(batch_)
             b["pos"] = pos_p
             b["t"] = t
-            return net.apply(params_, b, key, predict=True)["energy"]
+            out = net.apply(params_, b, key, predict=True)
+            labels = interface_labels(
+                pos_p, batch_["lig_mask"], batch_["node_mask"])
+            icons = _bce_logits(out["ires"], labels,
+                                batch_["node_mask"].astype(jnp.float32))
+            snorm = jnp.sqrt((out["tr_score"] ** 2).sum()) + jnp.sqrt(
+                (out["rot_score"] ** 2).sum())
+            return out["energy"], icons, snorm
 
         _SCORERS[id(net)] = jax.jit(
             jax.vmap(score_one, in_axes=(None, None, 0, None, 0)))
     scorer = _SCORERS[id(net)]
 
     p_count = pos_all.shape[0]
-    acc = np.zeros(p_count, np.float64)
+    acc = {k: np.zeros(p_count, np.float64)
+           for k in ("energy", "icons", "snorm")}
     t_dev = jnp.float32(t_eval)
     for kk in range(k_draws):
         keys = jax.random.split(
             jax.random.fold_in(jax.random.PRNGKey(seed + 99), kk), p_count)
-        acc += np.asarray(scorer(params, batch, pos_all, t_dev, keys),
-                          np.float64)
-    return acc / k_draws
+        e, ic, sn = scorer(params, batch, pos_all, t_dev, keys)
+        for name, v in (("energy", e), ("icons", ic), ("snorm", sn)):
+            acc[name] += np.asarray(v, np.float64)
+    return {k: v / k_draws for k, v in acc.items()}
+
+
+def _multi_draw_energy(net, params, raw, pos_all, pad_to, k_draws, seed,
+                       t_eval=1e-3):
+    return _multi_draw_scores(
+        net, params, raw, pos_all, pad_to, k_draws, seed, t_eval)["energy"]
 
 
 def _write(path, rows):
