@@ -92,6 +92,27 @@ def test_cli_dock_csv_batch(tmp_path):
     assert row["id"] == "7CEI"
 
 
+def test_cli_dock_rank_by_confidence(tmp_path):
+    """--rank-by icons selects the best pose by the interface
+    self-consistency key and records icons/snorm columns."""
+    import numpy as np
+
+    from dfmdock_tpu.cli.dock import main
+
+    out = tmp_path / "dock_rb"
+    main([
+        "--npz", "data/db5_npz/7CEI.npz", "--num-samples", "2",
+        "--num-steps", "2", "--exact", "--out-dir", str(out), "--seed", "2",
+        "--rank-by", "icons",
+    ])
+    rows = _read(out / "metrics.csv")
+    assert {"icons", "snorm"} <= set(rows[0])
+    icons = [float(r["icons"]) for r in rows]
+    best = int(np.argmin(icons))
+    # the written PDB is the icons-ranked best pose
+    assert (out / f"7CEI_{best}.pdb").exists()
+
+
 def test_cli_dock_npz_end_to_end(tmp_path):
     from dfmdock_tpu.cli.dock import main
 
