@@ -20,7 +20,6 @@ from dfmdock_tpu.config import DFMDockConfig, SamplerConfig
 from dfmdock_tpu.data.dataset import NPZDataset, complex_to_batch
 from dfmdock_tpu.data.pdb_io import get_full_coords, save_pdb, save_trajectory
 from dfmdock_tpu.eval import compute_metrics
-from dfmdock_tpu.sampler import EMSampler
 
 import jax.numpy as jnp
 

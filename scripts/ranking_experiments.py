@@ -34,9 +34,7 @@ from __future__ import annotations
 
 import argparse
 import csv
-import glob
 import os
-import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
