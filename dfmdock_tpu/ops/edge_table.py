@@ -99,6 +99,20 @@ def _gather_dot(vals, oh):
     return d(hi) + d(mid) + d(lo)
 
 
+def _gather_dot_t(vals, oh):
+    """[M, R] f32 (row-major node block) x [M, E] one-hot -> [R, E] f32.
+
+    Contraction on dim 0 of BOTH operands — the lhs-T layout Mosaic lowers
+    natively at full MXU rate (NOTES.md round 3, finding 2).  Exact to
+    ~2^-27 via the same 3-term bf16 split as _gather_dot."""
+    d = lambda a: jax.lax.dot_general(
+        a, oh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    hi, mid, lo = _split3(vals)
+    return d(hi) + d(mid) + d(lo)
+
+
 # ----- 3-vectors as tuples of [1, E] rows: pure row-wise VPU ops -----------
 
 
@@ -196,7 +210,7 @@ def _dihedral_deg(a, b, c, d):
 
 def _kernel(inp_ref, nb_ref, nf_ref, out_ref, *, k: int, normalize: bool):
     n = nf_ref.shape[1]
-    bn = nb_ref.shape[1]
+    bn = nb_ref.shape[0]  # i-side node block arrives TRANSPOSED: [BN, NODE_ROWS]
     e = inp_ref.shape[1]
 
     idx = inp_ref[0:1, :]   # [1, E] f32 (exact small ints)
@@ -211,7 +225,7 @@ def _kernel(inp_ref, nb_ref, nf_ref, out_ref, *, k: int, normalize: bool):
     iota_bn = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 0)
     e_over_k = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 1) // k
     oh_i = (iota_bn == e_over_k).astype(jnp.bfloat16)  # [BN, E]
-    iv = _gather_dot(nb_ref[:], oh_i)  # [NODE_ROWS, E]
+    iv = _gather_dot_t(nb_ref[:], oh_i)  # [BN, NODE_ROWS] x [BN, E] -> [NODE_ROWS, E]
 
     n_i, ca_i, cb_i = _vec(iv, _N_AT), _vec(iv, _CA), _vec(iv, _CB)
     ca_j, cb_j = _vec(jv, _CA), _vec(jv, _CB)
@@ -316,8 +330,12 @@ def build_edge_table(idx, edge_mask, pos, res_id, asym_id, *, normalize: bool):
         grid=(n // bn,),
         in_specs=[
             tab_spec(IN_ROWS),
+            # i-side node block rides TRANSPOSED ([N, NODE_ROWS], block
+            # (bn, NODE_ROWS)): bn must live on the SUBLANE dim — Mosaic
+            # requires lane-dim blocks to be x128 or the full dim, and
+            # block_n returns 64 for the n%128==64 buckets (448, ...).
             pl.BlockSpec(
-                (NODE_ROWS, bn), lambda i: (0, i), memory_space=pltpu.VMEM
+                (bn, NODE_ROWS), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (NODE_ROWS, n), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -329,4 +347,4 @@ def build_edge_table(idx, edge_mask, pos, res_id, asym_id, *, normalize: bool):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(inp, node_tab, node_tab)
+    )(inp, node_tab.T, node_tab)
