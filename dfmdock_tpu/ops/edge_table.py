@@ -80,8 +80,16 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _split3(x):
-    """f32 -> three exactly-representable bf16 terms (hi + mid + lo)."""
+def _split3_xla(x):
+    """f32 -> three exactly-representable bf16 terms (hi + mid + lo).
+
+    MUST run in XLA, OUTSIDE the pallas kernel: Mosaic's excess-precision
+    folding collapses `x - f32(bf16(x))` to zero in-kernel, silently
+    truncating the gathered node geometry to bf16 (measured round 4:
+    rad off on ALL edges, max |d_dist| 0.48 A, 1446/23700 distance-bin
+    flips on 1AVX).  XLA preserves the rounding (hardware-parity-tested
+    via ops/gather.py in the full-model gate), so the kernel receives the
+    three terms pre-split and only performs the exact one-hot dots."""
     hi = x.astype(jnp.bfloat16)
     r1 = x - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
@@ -89,28 +97,30 @@ def _split3(x):
     return hi, mid, lo
 
 
-def _gather_dot(vals, oh):
-    """[R, M] f32 @ [M, E] one-hot -> [R, E] f32, exact to ~2^-27."""
+def _gather_dot(vals3, oh, rows):
+    """Pre-split [3*rows, E-side M] bf16 @ [M, E] one-hot -> [rows, E] f32,
+    exact to ~2^-27 (hi/mid/lo terms stacked on the sublane dim)."""
     d = lambda a: jax.lax.dot_general(
         a, oh, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    hi, mid, lo = _split3(vals)
-    return d(hi) + d(mid) + d(lo)
+    return (d(vals3[0:rows]) + d(vals3[rows : 2 * rows])
+            + d(vals3[2 * rows : 3 * rows]))
 
 
-def _gather_dot_t(vals, oh):
-    """[M, R] f32 (row-major node block) x [M, E] one-hot -> [R, E] f32.
+def _gather_dot_t(vals3, oh, rows):
+    """Pre-split [M, 3*rows] bf16 (row-major node block) x [M, E] one-hot
+    -> [rows, E] f32.
 
     Contraction on dim 0 of BOTH operands — the lhs-T layout Mosaic lowers
-    natively at full MXU rate (NOTES.md round 3, finding 2).  Exact to
-    ~2^-27 via the same 3-term bf16 split as _gather_dot."""
+    natively at full MXU rate (NOTES.md round 3, finding 2).  hi/mid/lo
+    terms stacked on the LANE dim of the transposed block."""
     d = lambda a: jax.lax.dot_general(
         a, oh, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    hi, mid, lo = _split3(vals)
-    return d(hi) + d(mid) + d(lo)
+    return (d(vals3[:, 0:rows]) + d(vals3[:, rows : 2 * rows])
+            + d(vals3[:, 2 * rows : 3 * rows]))
 
 
 # ----- 3-vectors as tuples of [1, E] rows: pure row-wise VPU ops -----------
@@ -210,7 +220,7 @@ def _dihedral_deg(a, b, c, d):
 
 def _kernel(inp_ref, nb_ref, nf_ref, out_ref, *, k: int, normalize: bool):
     n = nf_ref.shape[1]
-    bn = nb_ref.shape[0]  # i-side node block arrives TRANSPOSED: [BN, NODE_ROWS]
+    bn = nb_ref.shape[0]  # i-side block arrives TRANSPOSED: [BN, 3*NODE_ROWS]
     e = inp_ref.shape[1]
 
     idx = inp_ref[0:1, :]   # [1, E] f32 (exact small ints)
@@ -219,13 +229,14 @@ def _kernel(inp_ref, nb_ref, nf_ref, out_ref, *, k: int, normalize: bool):
     # j-side gather: one-hot against the node table's first sublane tile
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0).astype(jnp.float32)
     oh_j = (iota_n == idx).astype(jnp.bfloat16)  # [N, E]
-    jv = _gather_dot(nf_ref[0:J_ROWS, :], oh_j)  # [J_ROWS, E]
+    jv = _gather_dot(nf_ref[:], oh_j, J_ROWS)  # [J_ROWS, E]
 
     # i-side broadcast: i = e // K against the block's node rows
     iota_bn = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 0)
     e_over_k = jax.lax.broadcasted_iota(jnp.int32, (bn, e), 1) // k
     oh_i = (iota_bn == e_over_k).astype(jnp.bfloat16)  # [BN, E]
-    iv = _gather_dot_t(nb_ref[:], oh_i)  # [BN, NODE_ROWS] x [BN, E] -> [NODE_ROWS, E]
+    # [BN, 3*NODE_ROWS] x [BN, E] -> [NODE_ROWS, E]
+    iv = _gather_dot_t(nb_ref[:], oh_i, NODE_ROWS)
 
     n_i, ca_i, cb_i = _vec(iv, _N_AT), _vec(iv, _CA), _vec(iv, _CB)
     ca_j, cb_j = _vec(jv, _CA), _vec(jv, _CB)
@@ -319,6 +330,12 @@ def build_edge_table(idx, edge_mask, pos, res_id, asym_id, *, normalize: bool):
         ((0, IN_ROWS - 2), (0, 0)),
     )
     node_tab = node_geometry_table(pos, res_id, asym_id)
+    # 3-term bf16 split in XLA (NOT in-kernel — see _split3_xla): the kernel
+    # receives hi/mid/lo stacked on sublanes (j-side, first J_ROWS of each
+    # term) and on lanes (i-side transposed block)
+    hi, mid, lo = _split3_xla(node_tab)
+    nf3 = jnp.concatenate([hi[:J_ROWS], mid[:J_ROWS], lo[:J_ROWS]], 0)
+    nb3 = jnp.concatenate([hi, mid, lo], 0).T  # [N, 3*NODE_ROWS] bf16
 
     bn = block_n(n)
     e_blk = bn * k
@@ -330,15 +347,16 @@ def build_edge_table(idx, edge_mask, pos, res_id, asym_id, *, normalize: bool):
         grid=(n // bn,),
         in_specs=[
             tab_spec(IN_ROWS),
-            # i-side node block rides TRANSPOSED ([N, NODE_ROWS], block
-            # (bn, NODE_ROWS)): bn must live on the SUBLANE dim — Mosaic
+            # i-side node block rides TRANSPOSED ([N, 3*NODE_ROWS], block
+            # (bn, 3*NODE_ROWS)): bn must live on the SUBLANE dim — Mosaic
             # requires lane-dim blocks to be x128 or the full dim, and
             # block_n returns 64 for the n%128==64 buckets (448, ...).
             pl.BlockSpec(
-                (bn, NODE_ROWS), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (bn, 3 * NODE_ROWS), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (NODE_ROWS, n), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (3 * J_ROWS, n), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=tab_spec(ROWS),
@@ -347,4 +365,4 @@ def build_edge_table(idx, edge_mask, pos, res_id, asym_id, *, normalize: bool):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(inp, node_tab.T, node_tab)
+    )(inp, nb3, nf3)
