@@ -143,7 +143,19 @@ def _synthetic_batch(n_pad, seed=0):
     r = np.random.RandomState(seed)
     n_rec = int(n_pad * 0.55)
     n_lig = int(n_pad * 0.38)
-    mk = lambda ca: np.stack([ca - [1.4, 0, 0], ca, ca + [1.5, 0, 0]], 1)
+    # N/CA/C must NOT be collinear: a collinear backbone degenerates the
+    # virtual-CB frame and puts every omega/theta dihedral EXACTLY on a bin
+    # boundary (0/180 deg), turning the measure-zero boundary-flip case into
+    # 7% of edges in the edge-table HW gate (round 4).  Realistic tetrahedral
+    # offsets + per-residue jitter keep the synthetic geometry generic.
+    mk = lambda ca: np.stack(
+        [
+            ca + [-1.2, 0.8, 0.35] + r.randn(*ca.shape) * 0.05,
+            ca,
+            ca + [1.3, 0.7, -0.4] + r.randn(*ca.shape) * 0.05,
+        ],
+        1,
+    )
     rec_ca = np.cumsum(r.randn(n_rec, 3) * 1.5 + [3.8, 0, 0], axis=0)
     lig_ca = np.cumsum(r.randn(n_lig, 3) * 1.5 + [3.8, 0, 0], axis=0) + [12, 6, 0]
     b = pad_complex(

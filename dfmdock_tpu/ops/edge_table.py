@@ -48,6 +48,7 @@ from dfmdock_tpu.features.sixd import (
     SPATIAL_MASK_CUTOFF,
     virtual_cb,
 )
+from dfmdock_tpu.ops.gather import split_bf16_3
 from dfmdock_tpu.ops.fused_egcl import (
     R_CD,
     R_DB,
@@ -83,18 +84,14 @@ def _interpret():
 def _split3_xla(x):
     """f32 -> three exactly-representable bf16 terms (hi + mid + lo).
 
-    MUST run in XLA, OUTSIDE the pallas kernel: Mosaic's excess-precision
-    folding collapses `x - f32(bf16(x))` to zero in-kernel, silently
-    truncating the gathered node geometry to bf16 (measured round 4:
-    rad off on ALL edges, max |d_dist| 0.48 A, 1446/23700 distance-bin
-    flips on 1AVX).  XLA preserves the rounding (hardware-parity-tested
-    via ops/gather.py in the full-model gate), so the kernel receives the
-    three terms pre-split and only performs the exact one-hot dots."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+    Round-4 hardware finding: BOTH Mosaic (in-kernel) and XLA-on-TPU elide a
+    convert-based `x - f32(bf16(x))` under excess-precision folding — the
+    residuals come back exactly zero and the gathered node geometry silently
+    truncates to single bf16 (measured: rad off on ALL edges, max |d_dist|
+    0.48 A, ~1425/23700 distance-bin flips on 1AVX).  ops/gather.split_bf16_3
+    masks the low mantissa bits with integer bitcasts instead, which no
+    precision pass can fold; hw-gated by scripts/hw_parity.py."""
+    return split_bf16_3(x)
 
 
 def _gather_dot(vals3, oh, rows):

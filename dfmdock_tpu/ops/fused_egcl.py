@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dfmdock_tpu.features.sixd import OMEGA_OFFSET, PHI_OFFSET, THETA_OFFSET
+from dfmdock_tpu.ops.gather import split_bf16_2
 
 def block_n(n: int) -> int:
     """Rows per program: chosen so the fused gather's contraction (N + BN)
@@ -81,10 +82,13 @@ def _dot_t0(a, b):
 
 
 def _split_f32(x):
-    """Exact bf16 hi/lo split: x == hi + lo to ~2^-16 relative."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """Exact bf16 hi/lo split: x == hi + lo to ~2^-16 relative.
+
+    Fold-proof integer-mask formulation (ops/gather.split_bf16_2): Mosaic's
+    excess-precision pass elides a convert-based `x - f32(bf16(x))` to zero
+    in-kernel (measured round 4 — the 3-pass dots were silently single-pass
+    bf16 on hardware)."""
+    return split_bf16_2(x)
 
 
 def _dot3(a, b, dims):
@@ -176,8 +180,7 @@ def _message_chain(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
         | (iota_sp == tab_ref[R_TB : R_TB + 1, :] + float(THETA_OFFSET))
         | (iota_sp == tab_ref[R_PB : R_PB + 1, :] + float(PHI_OFFSET))
     ).astype(jnp.bfloat16)
-    rad_hi = radial.astype(jnp.bfloat16)
-    rad_lo = (radial - rad_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    rad_hi, rad_lo = split_bf16_2(radial)
     n_rp = tp_ref.shape[0]
     iota_rp = jax.lax.broadcasted_iota(jnp.int32, (n_rp, e), 0).astype(jnp.float32)
     oh_rp = (iota_rp == tab_ref[R_RP : R_RP + 1, :]).astype(jnp.bfloat16)
@@ -285,8 +288,7 @@ def fused_edge_layer(
     grid = (n // bn,)
     # augment the spatial table with the radial rows (rad_hi*wr_hi +
     # rad_lo*wr_hi + rad_hi*wr_lo ~= rad*w_r to ~2^-16 relative)
-    wr_hi = w_r.astype(jnp.bfloat16)
-    wr_lo = (w_r - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    wr_hi, wr_lo = split_bf16_2(w_r)
     t_sp_aug = jnp.concatenate([t_sp, wr_hi, wr_hi, wr_lo], axis=0)
     tab_spec, row, full = _build_specs(bn)
     in_specs = [

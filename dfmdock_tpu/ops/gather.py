@@ -1,4 +1,4 @@
-"""Exact row gathers as one-hot MXU matmuls.
+"""Exact row gathers as one-hot MXU matmuls + fold-proof bf16 splits.
 
 XLA lowers small dynamic-index gathers on TPU as scalar loops (~5 ns/element:
 a [448, 60] index set costs ~2.5-3.5 ms per gather inside the sampler scan —
@@ -11,11 +11,56 @@ single element, so the sum reconstructs the f32 value to ~2^-27 relative —
 below f32 ulp for the magnitudes here (exact for integers < 2^16).
 Differentiable w.r.t. src (the backward pass is the transpose matmul, i.e. a
 segment-sum scatter — also MXU).
+
+CRITICAL (round 4, measured on hardware): the split MUST NOT be written as
+`x - f32(bf16(x))`.  Both XLA-on-TPU and Mosaic run with excess-precision
+folding that elides the f32->bf16->f32 convert pair, collapsing the residual
+to exactly zero — every gather silently truncated its source to single bf16
+(max coord error 0.24 A at 1AVX scale; 1425 distance-bin flips).  The split
+here rounds toward zero by masking the low 16 mantissa bits with integer ops
+(`bitcast & 0xFFFF0000`), which no precision pass can fold; hw-gated by
+scripts/hw_parity.py (split3 nonzero-residual check + edge-table rows).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+_HI_MASK = np.uint32(0xFFFF0000)
+
+
+def _trunc16(x: jnp.ndarray) -> jnp.ndarray:
+    """The f32 value of x with its low 16 bits zeroed (round-toward-zero
+    bf16) — exactly bf16-representable, computed without any f32<->bf16
+    convert for excess-precision passes to elide."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & _HI_MASK, jnp.float32)
+
+
+def split_bf16_2(x: jnp.ndarray):
+    """f32 -> (hi, lo) bf16 with hi + lo == x to ~2^-16 relative.
+    hi is exact (truncation); the residual subtraction is exact (trunc
+    toward zero shares x's sign and exponent), lo's bf16 cast rounds."""
+    hi = _trunc16(x)
+    lo = x - hi
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def split_bf16_3(x: jnp.ndarray):
+    """f32 -> (hi, mid, lo) bf16 with hi + mid + lo == x to ~2^-27 relative
+    (hi and mid truncations are exact; only lo's final cast rounds).
+    Safe inside Pallas kernels and under jit on hardware — see module
+    docstring for why the convert-based formulation is not."""
+    hi = _trunc16(x)
+    r1 = x - hi
+    mid = _trunc16(r1)
+    lo = r1 - mid
+    return (
+        hi.astype(jnp.bfloat16),
+        mid.astype(jnp.bfloat16),
+        lo.astype(jnp.bfloat16),
+    )
 
 
 def gather_rows(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -26,10 +71,7 @@ def gather_rows(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     n, s = src.shape
     oh = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).astype(jnp.bfloat16)
-    hi = src.astype(jnp.bfloat16)
-    r1 = src - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, mid, lo = split_bf16_3(src)
     flat = oh.reshape(-1, n)
     out = (
         jnp.dot(flat, hi, preferred_element_type=jnp.float32)

@@ -45,6 +45,28 @@ TOPK_WIDTHS = (128, 256, 448, 640)
 KNN, SAMPLE = 20, 40
 
 
+def split_fold_check():
+    """The bf16 split residuals must be NONZERO under jit on this backend —
+    the round-4 bug: excess-precision folding elided the convert-based split,
+    truncating every one-hot gather to single bf16."""
+    from dfmdock_tpu.ops.gather import gather_rows, split_bf16_3
+
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(448, 8).astype(np.float32) * 30)
+    _, m, l = jax.jit(split_bf16_3)(src)
+    mid_nz = int((np.asarray(m, np.float32) != 0).sum())
+    lo_nz = int((np.asarray(l, np.float32) != 0).sum())
+    assert mid_nz > 1000 and lo_nz > 1000, (
+        f"bf16 split folded on this backend (mid_nz={mid_nz}, lo_nz={lo_nz})")
+    idx = jnp.asarray(rng.randint(0, 448, size=(448, 60)).astype(np.int32))
+    out = np.asarray(jax.jit(gather_rows)(src, idx))
+    err = float(np.abs(out - np.asarray(src)[np.asarray(idx)]).max())
+    assert err == 0.0, f"gather_rows not exact on hardware (max err {err})"
+    print(f"# split fold-proof: ok (mid_nz={mid_nz}, lo_nz={lo_nz}, "
+          f"gather exact)", file=sys.stderr, flush=True)
+    return {"mid_nz": mid_nz, "lo_nz": lo_nz, "gather_max_err": err}
+
+
 def edge_table_hw_check():
     """Compiled (Mosaic-lowered) edge-table kernel vs XLA builder, valid
     edges only, at the real 1AVX size + two synthetic buckets."""
@@ -190,6 +212,7 @@ def main():
     _, real = bench._batch()
     summary = {
         "platform": platform,
+        "split_fold": split_fold_check(),
         "pallas_parity": bench.pallas_parity_check(fast, slow, params, real),
         "edge_table": edge_table_hw_check(),
         "approx_topk": topk_exactness(),
