@@ -59,8 +59,14 @@ class ModelConfig:
 
         Kernel flags start False until scripts/{edge_table,select_topk}
         _bench.py prove them faster under the real Mosaic lowering
-        (interpret mode cannot, NOTES.md round 3)."""
-        kw = dict(compute_dtype="bfloat16", use_pallas=True)
+        (interpret mode cannot, NOTES.md round 3).
+
+        edge_table_kernel: A/B WON round 4 (commit 2d887ae: 987.5 -> 1068.5
+        steps/s, +8.2% at P=40) and hw-parity-clean at every padded size
+        (scripts/hw_parity_out.json: 0 bin flips) -> default ON."""
+        kw = dict(
+            compute_dtype="bfloat16", use_pallas=True, edge_table_kernel=True
+        )
         kw.update(overrides)
         return cls(**kw)
 

@@ -21,10 +21,12 @@ _BIG = 1e30
 
 # Padded widths at which approx_max_k (TPU PartialReduce) is verified exact
 # vs lax.top_k (100% recall AND identical index order) on hardware — see
-# scripts/hw_parity.py's topk case.  At any other width we fall back to the
-# exact dual-tensor sort: recall < 1 would silently drop a true nearest
-# neighbour and corrupt the kth-distance threshold below (ADVICE r3 medium).
-_APPROX_TOPK_VERIFIED_WIDTHS = frozenset({128, 256, 448})
+# scripts/hw_parity.py's topk case (scripts/hw_parity_out.json records the
+# pass per width, incl. 640: knn_exact/sample_exact true — VERDICT r4 #6).
+# At any other width we fall back to the exact dual-tensor sort: recall < 1
+# would silently drop a true nearest neighbour and corrupt the kth-distance
+# threshold below (ADVICE r3 medium).
+_APPROX_TOPK_VERIFIED_WIDTHS = frozenset({128, 256, 448, 640})
 
 
 def select_edges(

@@ -82,7 +82,8 @@ def _dot_t0(a, b):
 
 
 def _split_f32(x):
-    """Exact bf16 hi/lo split: x == hi + lo to ~2^-16 relative.
+    """bf16 hi/lo split: x == hi + lo to ~2^-15 relative (truncation split;
+    residual up to 2x a round-to-nearest split's — ADVICE r4).
 
     Fold-proof integer-mask formulation (ops/gather.split_bf16_2): Mosaic's
     excess-precision pass elides a convert-based `x - f32(bf16(x))` to zero
@@ -163,7 +164,7 @@ def _message_chain(tab_ref, a_ref, B_ref, tsp_ref, tp_ref,
     #                          see block_n, so this rides the K-padding free)
     #   next 100 rows          spatial-bin multi-hot @ pre-fused embed table
     #   next 3 rows            radial VALUE rows (rad_hi/lo x w_r hi/lo bf16
-    #                          splits ~= rad * w_r to ~2^-16 relative)
+    #                          splits ~= rad * w_r to ~2^-15 relative)
     #   last 66 rows           relpos one-hot @ pre-fused embed table
     # Total padded contraction equals the sum of the separately-padded dots,
     # but one MXU pipeline replaces four dots + two [E, C] adds.
@@ -287,7 +288,7 @@ def fused_edge_layer(
     e_blk = bn * k
     grid = (n // bn,)
     # augment the spatial table with the radial rows (rad_hi*wr_hi +
-    # rad_lo*wr_hi + rad_hi*wr_lo ~= rad*w_r to ~2^-16 relative)
+    # rad_lo*wr_hi + rad_hi*wr_lo ~= rad*w_r to ~2^-15 relative)
     wr_hi, wr_lo = split_bf16_2(w_r)
     t_sp_aug = jnp.concatenate([t_sp, wr_hi, wr_hi, wr_lo], axis=0)
     tab_spec, row, full = _build_specs(bn)

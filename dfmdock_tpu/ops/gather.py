@@ -5,10 +5,13 @@ a [448, 60] index set costs ~2.5-3.5 ms per gather inside the sampler scan —
 measured via hlo_stats, round 2).  one_hot(idx) @ src runs on the MXU instead.
 
 Exactness: bf16 one-hot entries are exact (0/1), and the source is split into
-three bf16 terms hi + mid + lo (successive residuals); each part is exactly
-representable, the products accumulate in f32, and a one-hot row selects a
-single element, so the sum reconstructs the f32 value to ~2^-27 relative —
-below f32 ulp for the magnitudes here (exact for integers < 2^16).
+three bf16 terms hi + mid + lo (successive truncation residuals); 8+8+8
+significand bits cover f32's full 24-bit significand, so hi + mid + lo == x
+EXACTLY for every normal f32 (the only rounding would be at the bf16
+subnormal floor, ~2^-133 — far below anything here).  The products accumulate
+in f32 and a one-hot row selects a single element, so the gather is bit-exact;
+scripts/hw_parity.py's split_fold_check asserts max reconstruction err == 0.0
+on hardware, and the code relies on that exactness.
 Differentiable w.r.t. src (the backward pass is the transpose matmul, i.e. a
 segment-sum scatter — also MXU).
 
@@ -33,25 +36,40 @@ _HI_MASK = np.uint32(0xFFFF0000)
 def _trunc16(x: jnp.ndarray) -> jnp.ndarray:
     """The f32 value of x with its low 16 bits zeroed (round-toward-zero
     bf16) — exactly bf16-representable, computed without any f32<->bf16
-    convert for excess-precision passes to elide."""
+    convert for excess-precision passes to elide.
+
+    Inputs are assumed finite: a NaN whose payload lives entirely in the
+    low 16 mantissa bits (e.g. 0x7F800001) truncates to +/-Inf here, so
+    hi/lo garbage propagation on non-finite inputs differs from a
+    convert-based split.  Benign in this codebase — every consumer folds
+    edge_mask over any masked/degenerate rows (same caveat as
+    ops/edge_table.build_edge_table)."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
     return jax.lax.bitcast_convert_type(u & _HI_MASK, jnp.float32)
 
 
 def split_bf16_2(x: jnp.ndarray):
-    """f32 -> (hi, lo) bf16 with hi + lo == x to ~2^-16 relative.
+    """f32 -> (hi, lo) bf16 with hi + lo == x to ~2^-15 relative.
     hi is exact (truncation); the residual subtraction is exact (trunc
-    toward zero shares x's sign and exponent), lo's bf16 cast rounds."""
+    toward zero shares x's sign and exponent), lo's bf16 cast rounds.
+    NOTE: truncation (round-toward-zero) makes the residual up to 2x a
+    round-to-nearest split's, so downstream products that drop an
+    lo*lo-class cross term see ~2^-15 rel error, not ~2^-16 — the
+    fold-proofness is worth the one lost bit (ADVICE r4)."""
     hi = _trunc16(x)
     lo = x - hi
     return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
 def split_bf16_3(x: jnp.ndarray):
-    """f32 -> (hi, mid, lo) bf16 with hi + mid + lo == x to ~2^-27 relative
-    (hi and mid truncations are exact; only lo's final cast rounds).
-    Safe inside Pallas kernels and under jit on hardware — see module
-    docstring for why the convert-based formulation is not."""
+    """f32 -> (hi, mid, lo) bf16 with hi + mid + lo == x EXACTLY for every
+    normal f32: the truncations are exact, and lo's final bf16 cast is too
+    (8+8+8 significand bits cover the 24-bit f32 significand; only values
+    at the bf16 subnormal floor could round).  scripts/hw_parity.py gates
+    this with a max-err == 0.0 assertion — reintroducing any rounding here
+    is a contract violation, not a tolerance change.  Safe inside Pallas
+    kernels and under jit on hardware — see module docstring for why the
+    convert-based formulation is not."""
     hi = _trunc16(x)
     r1 = x - hi
     mid = _trunc16(r1)

@@ -24,6 +24,7 @@ non-zero on any failure.  ONE TPU process at a time (NOTES.md).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -208,10 +209,20 @@ def main():
         print(f"# WARNING: running on '{platform}', not TPU — Mosaic "
               f"lowering is NOT being validated", file=sys.stderr)
 
+    try:
+        sha = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
     fast, slow, params = bench._nets()
     _, real = bench._batch()
     summary = {
         "platform": platform,
+        "device": str(jax.devices()[0]),
+        "git_sha": sha,
+        "run_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "split_fold": split_fold_check(),
         "pallas_parity": bench.pallas_parity_check(fast, slow, params, real),
         "edge_table": edge_table_hw_check(),
