@@ -21,12 +21,19 @@ _BIG = 1e30
 
 # Padded widths at which approx_max_k (TPU PartialReduce) is verified exact
 # vs lax.top_k (100% recall AND identical index order) on hardware — see
-# scripts/hw_parity.py's topk case (scripts/hw_parity_out.json records the
-# pass per width, incl. 640: knn_exact/sample_exact true — VERDICT r4 #6).
-# At any other width we fall back to the exact dual-tensor sort: recall < 1
-# would silently drop a true nearest neighbour and corrupt the kth-distance
-# threshold below (ADVICE r3 medium).
-_APPROX_TOPK_VERIFIED_WIDTHS = frozenset({128, 256, 448, 640})
+# scripts/hw_parity.py's topk case.  At any other width we fall back to the
+# exact dual-tensor sort: recall < 1 would silently drop a true nearest
+# neighbour and corrupt the kth-distance threshold below (ADVICE r3 medium).
+#
+# 640 is deliberately NOT in the set (VERDICT r4 #6 asked to reconcile the
+# gate with its evidence; reconciling EXPOSED the evidence): round 4's
+# hw_parity topk case passed at 640 on its one input, but round 5's run
+# caught approx_max_k at 640 disagreeing with lax.top_k on a different
+# input (select_topk parity failed at 640 while the topk case still passed
+# — /tmp/r5_hwparity.log, 2026-08-19).  Single-input passes are necessary,
+# not sufficient; a width enters this set only where exactness held on
+# every probed input and no counterexample exists.
+_APPROX_TOPK_VERIFIED_WIDTHS = frozenset({128, 256, 448})
 
 
 def select_edges(
