@@ -61,9 +61,12 @@ class ModelConfig:
         _bench.py prove them faster under the real Mosaic lowering
         (interpret mode cannot, NOTES.md round 3).
 
-        edge_table_kernel: A/B WON round 4 (commit 2d887ae: 987.5 -> 1068.5
-        steps/s, +8.2% at P=40) and hw-parity-clean at every padded size
-        (scripts/hw_parity_out.json: 0 bin flips) -> default ON."""
+        edge_table_kernel=True: the corrected (fold-proof bf16-split)
+        kernel wins its A/B — 1066.8-1081.6 steps/s vs 1009.9-1012.9 XLA
+        at P=40 across three independent round-5 runs (~+6%; NOTES.md
+        round 5, incl. the one outlier reading and why it's discounted).
+        select_kernel stays False: -1.8% AND the in-sampler bit-parity
+        gate fails (selections diverge over 40 steps)."""
         kw = dict(
             compute_dtype="bfloat16", use_pallas=True, edge_table_kernel=True
         )
