@@ -84,7 +84,7 @@ def train_variant(name, flags, holdout, epochs):
     return run(cmd, os.path.join(vdir, "train.out"))
 
 
-def eval_variant(name, holdout):
+def eval_variant(name, holdout, fold=0):
     vdir = os.path.join(SWEEP_DIR, name)
     out_csv = os.path.join(vdir, "ranking_exp.csv")
     if os.path.exists(out_csv):
@@ -95,7 +95,7 @@ def eval_variant(name, holdout):
             return 0
     cmd = [
         sys.executable, "scripts/ranking_experiments.py",
-        "--fold", "0", "--ckpt", os.path.join(vdir, "last"),
+        "--fold", str(fold), "--ckpt", os.path.join(vdir, "last"),
         "--ids", ",".join(holdout),
         "--t-list", "1e-5,0.1,0.2", "--k", "4",
         "--out-csv", out_csv, "--resume",
@@ -103,11 +103,11 @@ def eval_variant(name, holdout):
     return run(cmd, os.path.join(vdir, "eval.out"))
 
 
-def aggregate(names):
+def aggregate(names, fold=0):
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from ranking_analysis import analyze, load_rows, summarize
 
-    lines = ["# Contrastive sweep (fold0 holdout, short recipe)", "",
+    lines = [f"# Contrastive sweep (fold{fold} holdout, short recipe)", "",
              "| variant | energy key | mean rho(E,DockQ) | top1 | random | best |",
              "|---|---|---|---|---|---|"]
     for name in names:
@@ -131,20 +131,25 @@ def aggregate(names):
 
 
 def main():
+    global SWEEP_DIR
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=800)
     ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--fold", type=int, default=0,
+                    help="holdout fold (confirmation runs use fold 1)")
+    ap.add_argument("--sweep-dir", default=SWEEP_DIR)
     args = ap.parse_args()
+    SWEEP_DIR = args.sweep_dir
     names = [v for v in args.variants.split(",") if v]
-    holdout = fold_holdout(0)
+    holdout = fold_holdout(args.fold)
     os.makedirs(SWEEP_DIR, exist_ok=True)
     for name in names:
         rc = train_variant(name, VARIANTS[name], holdout, args.epochs)
         if rc:
             print(f"{name}: train FAILED rc={rc}", flush=True)
             continue
-        eval_variant(name, holdout)
-        aggregate(names)
+        eval_variant(name, holdout, args.fold)
+        aggregate(names, args.fold)
 
 
 if __name__ == "__main__":
