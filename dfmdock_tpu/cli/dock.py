@@ -73,6 +73,45 @@ def _complex_from_pdbs(cid, rec_pdb, lig_pdb, args):
     }
 
 
+def _reranker_scores(net, params, raw, results, rows, weights_path,
+                     k_draws, seed):
+    """Score every pose with the learned linear re-ranker (higher = better).
+
+    Reproduces scripts/fit_reranker.py's deployment contract exactly: the
+    feature matrix is the (family, t)-grid of K-draw mean scores named in the
+    weights JSON (e.g. ``energy_t1em05_mean``) plus ``num_clashes``, z-scored
+    WITHIN this complex, then dotted with the fitted weights.  Feature t
+    values are parsed back from the column names, so the CLI follows whatever
+    grid the weights were fit on."""
+    import json
+
+    from dfmdock_tpu.cli.sweep import _multi_draw_scores
+
+    with open(weights_path) as f:
+        spec = json.load(f)
+    feats, w = spec["features"], np.asarray(spec["weights"], np.float64)
+    pos_all = results["pos"]
+    n_poses, pad_to = int(pos_all.shape[0]), int(pos_all.shape[1])
+    per_t = {}  # t -> {energy/icons/snorm: [P]}
+    X = np.zeros((n_poses, len(feats)), np.float64)
+    for j, name in enumerate(feats):
+        if name == "num_clashes":
+            X[:, j] = [r["num_clashes"] for r in rows]
+            continue
+        fam, rest = name.split("_t", 1)
+        if not rest.endswith("_mean") or fam not in ("energy", "icons", "snorm"):
+            raise ValueError(f"unsupported reranker feature {name!r} — the "
+                             "CLI computes *_t*_mean grids and num_clashes")
+        t = float(rest[: -len("_mean")].replace("m", "-"))
+        if t not in per_t:
+            per_t[t] = _multi_draw_scores(
+                net, params, raw, pos_all, pad_to, k_draws, seed, t_eval=t)
+        X[:, j] = per_t[t][fam]
+    mu, sd = X.mean(0), X.std(0)
+    Xz = (X - mu) / np.where(sd > 1e-12, sd, 1.0)
+    return Xz @ w
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
@@ -106,11 +145,28 @@ def main(argv=None):
                     help="> 1: rank by the mean energy over K independent "
                          "edge-sampling draws (denoised ranking; the "
                          "reference scores one draw)")
-    ap.add_argument("--rank-by", choices=["energy", "icons", "snorm"],
+    ap.add_argument("--rank-by",
+                    choices=["energy", "icons", "snorm", "reranker"],
                     default="energy",
-                    help="pose-ranking key: energy (reference behavior), "
-                         "icons (interface self-consistency) or snorm "
-                         "(score magnitude) — all lower = better")
+                    help="pose-ranking key: energy (reference behavior, "
+                         "inference_base.py:653-657), icons (interface "
+                         "self-consistency) or snorm (score magnitude) — all "
+                         "lower = better — or 'reranker': the learned linear "
+                         "combination of t-grid energy/icons/snorm features "
+                         "(scripts/fit_reranker.py; the only key measured "
+                         "held-out-positive on the DB5 CV rotation, "
+                         "ckpts/db5_cv/reranker.md)")
+    ap.add_argument("--reranker-weights",
+                    default=os.path.join(
+                        os.path.dirname(os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__)))),
+                        "ckpts", "db5_cv", "reranker_weights.json"),
+                    help="feature/weight JSON from scripts/fit_reranker.py "
+                         "--weights-out (used by --rank-by reranker)")
+    ap.add_argument("--reranker-draws", type=int, default=4,
+                    help="edge-sampling draws per t when computing reranker "
+                         "features (4 = the value the committed weights were "
+                         "fit with)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--write-all-poses", action="store_true")
     ap.add_argument("--exact", action="store_true",
@@ -172,7 +228,14 @@ def main(argv=None):
             sampler, params, job, sub, args.num_samples, native=native,
             run_fn=run_fn,
         )
-        if args.energy_draws > 1 or args.rank_by != "energy":
+        if args.rank_by == "reranker":
+            scores = _reranker_scores(
+                net, params, job, results, rows, args.reranker_weights,
+                args.reranker_draws, args.seed)
+            for i, r in enumerate(rows):
+                r["rerank_score"] = float(scores[i])
+            best = int(np.argmax(scores))  # reranker: higher = better
+        elif args.energy_draws > 1 or args.rank_by != "energy":
             from dfmdock_tpu.cli.sweep import _multi_draw_scores
 
             scores = _multi_draw_scores(

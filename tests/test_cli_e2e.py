@@ -127,3 +127,56 @@ def test_cli_dock_npz_end_to_end(tmp_path):
     assert len(pdbs) == 1  # best pose only by default
     text = pdbs[0].read_text()
     assert text.startswith("MODEL") or "ATOM" in text
+
+
+def test_cli_dock_rank_by_reranker(tmp_path):
+    """--rank-by reranker scores poses with a fitted linear feature
+    combination (fit_reranker.py deployment contract): t values are parsed
+    back out of the weight JSON's column names, features are K-draw means
+    z-scored within the complex, and the written PDB is the argmax pose."""
+    import json
+
+    import numpy as np
+
+    from dfmdock_tpu.cli.dock import main
+
+    weights = tmp_path / "w.json"
+    weights.write_text(json.dumps({
+        # a 2-t grid plus the clash count: exercises name->t parsing
+        # (1em05 -> 1e-05), per-t score caching and the num_clashes column
+        "features": ["energy_t0.1_mean", "energy_t1em05_mean",
+                     "icons_t0.1_mean", "num_clashes"],
+        "weights": [-1.0, -0.5, -0.25, -0.1],
+        "ridge": 1.0,
+    }))
+    out = tmp_path / "dock_rr"
+    main([
+        "--npz", "data/db5_npz/7CEI.npz", "--num-samples", "2",
+        "--num-steps", "2", "--exact", "--out-dir", str(out), "--seed", "2",
+        "--rank-by", "reranker", "--reranker-weights", str(weights),
+        "--reranker-draws", "2",
+    ])
+    rows = _read(out / "metrics.csv")
+    assert "rerank_score" in rows[0]
+    scores = [float(r["rerank_score"]) for r in rows]
+    best = int(np.argmax(scores))
+    assert (out / f"7CEI_{best}.pdb").exists()
+    # with 2 poses, within-complex z-scoring makes the scores symmetric
+    assert abs(scores[0] + scores[1]) < 1e-6
+
+
+def test_cli_dock_reranker_default_weights_exist():
+    """The committed CV reranker weights (the --rank-by reranker default)
+    parse and carry only features the CLI can compute."""
+    import json
+
+    from dfmdock_tpu.cli.dock import main  # noqa: F401  (import side check)
+
+    path = "ckpts/db5_cv/reranker_weights.json"
+    with open(path) as f:
+        spec = json.load(f)
+    assert len(spec["features"]) == len(spec["weights"])
+    for name in spec["features"]:
+        assert name == "num_clashes" or (
+            name.split("_t", 1)[0] in ("energy", "icons", "snorm")
+            and name.endswith("_mean"))
