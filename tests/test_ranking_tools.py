@@ -84,3 +84,55 @@ def test_key_table_renders_both_directions(tmp_path, capsys):
     # may not appear; the margin section must report the energy key
     assert "margin health" in text
     assert "`energy_t1em05_mean`" in text or "`energy_t0.1_mean`" in text or "energy" in text
+
+
+def test_significance_ranks_match_scipy():
+    """The permutation tool's tie-aware average ranks == scipy.rankdata
+    (ties are the COMMON case in held-out DockQ columns)."""
+    from scipy.stats import rankdata
+
+    mod = _load("reranker_significance")
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        x = rng.choice([0.0, 0.01, 0.02, 0.5], size=37)
+        np.testing.assert_allclose(mod._ranks(x), rankdata(x))
+
+
+def test_significance_detects_known_signal(tmp_path):
+    """End-to-end on synthetic fold CSVs: an informative feature set gets
+    the floor p-value; the same machinery runs clean with --reps small."""
+    rng = np.random.default_rng(0)
+    paths = []
+    for f in range(3):
+        rows = []
+        for c in range(2):
+            cid = f"f{f}c{c}"
+            dq = rng.uniform(0.0, 0.8, 20)
+            for i in range(20):
+                rows.append({
+                    "id": cid, "index": str(i), "DockQ": f"{dq[i]:.4f}",
+                    # informative: low energy <=> high DockQ, mild noise
+                    "energy_t0.1_mean":
+                        f"{-10 * dq[i] + rng.normal(0, 0.5):.4f}",
+                    "num_clashes": "0",
+                })
+        p = tmp_path / f"fold{f}.csv"
+        with open(p, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+        paths.append(str(p))
+
+    mod = _load("reranker_significance")
+    out = tmp_path / "report.md"
+    mod.main(paths + ["--reps", "400", "--seed", "1", "--features",
+                      "energy", "--out", str(out)])
+    text = out.read_text()
+    # observed mean rho must be strongly positive and at the permutation
+    # floor p = 1/(B+1)
+    import re
+
+    m = re.search(r"mean Spearman rho \| \+(0\.\d+) \|.*\*\*(\S+)\*\*", text)
+    assert m, text
+    assert float(m.group(1)) > 0.5
+    assert float(m.group(2)) <= 1.0 / 400
