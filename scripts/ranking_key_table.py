@@ -102,7 +102,14 @@ def main(argv=None):
         lines.append(
             f"- `{k}`: {neg}/{len(m)} complexes healthy; "
             f"mean margin {np.mean(list(m.values())):+.2f}")
-    lines.append("")
+    lines += [
+        "",
+        "None of the raw keys above carries usable held-out signal; the",
+        "learned leave-fold-out combination of them does (rho +0.157,",
+        "permutation p = 5e-05) — see `reranker.md` in this directory and",
+        "`--rank-by reranker` in the dock CLI.",
+        "",
+    ]
 
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
