@@ -75,9 +75,16 @@ def wait_for_backend():
         if budget <= 0:
             return False
         try:
+            # the probe must EXECUTE work, not just enumerate devices: in
+            # the observed outage mode the backend registers fine while
+            # every dispatch hangs (round-5 tunnel drop — a futex-wedged
+            # trainer with jax.devices() still answering)
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].platform)"],
+                 "import jax, jax.numpy as jnp, numpy as np\n"
+                 "y = jax.jit(lambda a: a @ a)(jnp.ones((128, 128)))\n"
+                 "assert float(np.asarray(y).sum()) == 128.0 ** 3\n"
+                 "print(jax.devices()[0].platform)"],
                 capture_output=True, text=True,
                 timeout=min(BACKEND_PROBE_TIMEOUT_S, max(budget, 30)),
             )
